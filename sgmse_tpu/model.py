@@ -1,0 +1,402 @@
+"""ScoreModel: owns backbone + SDE + DSP transform; forward contracts,
+preconditioning, training losses, and the one-call `enhance` pipeline.
+
+Capability parity with /root/reference/sgmse/model.py (ScoreModel,
+model.py:22-465), re-designed as a functional core: parameters are explicit
+pytrees threaded through pure methods (no mutable module state, no implicit
+device placement), so every path jits and shards cleanly.
+
+Forward contracts (reference model.py:264-341):
+- legacy backbones (ncsnpp, ncsnpp_48k, dcunet): ``score = -dnn(x_t, y, t)``.
+- ncsnpp_v2: EDM-style preconditioning ``c_in/c_out/c_skip`` + optional
+  ``network_scaling``; output interpretation depends on ``loss_type``.
+
+Losses (reference model.py:127-187): score_matching (Eq. 7), denoiser (Eq. 8/10
+with {1, sigma^2, edm} weightings), data_prediction (TF-MSE + l1_weight *
+time-domain L1 via iSTFT inside the loss, + optional differentiable PESQ).
+
+Note: the reference's edm weighting double-expands sigma's broadcast axes
+(model.py:156 applies [:, None, None, None] to an already-expanded sigma),
+silently producing a (B,1,1,B,C,F,T) loss tensor; we implement the intended
+(B,1,1,1) weighting instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sampling
+from .dsp import SpecTransform, pad_spec
+from .models import BackboneRegistry
+from .sdes import SDERegistry, crandn
+
+
+def _bcast(c):
+    return c[:, None, None, None]
+
+
+def _filter_kwargs(cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Keep only kwargs that are fields of the dataclass/linen module `cls`."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    out = {}
+    for k, v in kwargs.items():
+        if k in names:
+            # argparse gives lists for nargs='+' flags; linen wants hashable tuples
+            out[k] = tuple(v) if isinstance(v, list) else v
+    return out
+
+
+class ScoreModel:
+    """Score-based speech enhancement model (functional core).
+
+    Construction mirrors the reference kwargs-soup contract
+    (model.py:41-88): backbone/sde names select registry classes, and all
+    remaining kwargs are routed to whichever component declares them.
+    """
+
+    @staticmethod
+    def add_argparse_args(parser):
+        parser.add_argument("--lr", type=float, default=1e-4,
+                            help="The learning rate (1e-4 by default)")
+        parser.add_argument("--ema_decay", type=float, default=0.999,
+                            help="The parameter EMA decay constant (0.999 by default)")
+        parser.add_argument("--t_eps", type=float, default=0.03,
+                            help="The minimum process time (0.03 by default)")
+        parser.add_argument("--num_eval_files", type=int, default=20,
+                            help="Number of files for speech enhancement performance evaluation during training.")
+        parser.add_argument("--loss_type", type=str, default="score_matching",
+                            help="The type of loss function to use.")
+        parser.add_argument("--loss_weighting", type=str, default="sigma^2",
+                            help="The weighting of the loss function.")
+        parser.add_argument("--network_scaling", type=str, default=None,
+                            help="The type of network output scaling to use.")
+        parser.add_argument("--c_in", type=str, default="1", help="The input scaling for x.")
+        parser.add_argument("--c_out", type=str, default="1", help="The output scaling.")
+        parser.add_argument("--c_skip", type=str, default="0", help="The skip connection scaling.")
+        parser.add_argument("--sigma_data", type=float, default=0.1,
+                            help="The data standard deviation.")
+        parser.add_argument("--l1_weight", type=float, default=0.001,
+                            help="The balance between the time-frequency and time-domain losses.")
+        parser.add_argument("--pesq_weight", type=float, default=0.0,
+                            help="The weight of the PESQ loss term.")
+        parser.add_argument("--sr", type=int, default=16000,
+                            help="The sample rate of the audio files.")
+        return parser
+
+    def __init__(
+        self, backbone: str, sde: str,
+        lr: float = 1e-4, ema_decay: float = 0.999, t_eps: float = 0.03,
+        num_eval_files: int = 20, loss_type: str = "score_matching",
+        loss_weighting: str = "sigma^2", network_scaling: Optional[str] = None,
+        c_in: str = "1", c_out: str = "1", c_skip: str = "0",
+        sigma_data: float = 0.1, l1_weight: float = 0.001, pesq_weight: float = 0.0,
+        sr: int = 16000, spec: Optional[SpecTransform] = None, **kwargs,
+    ):
+        self.backbone = backbone
+        dnn_cls = BackboneRegistry.get_by_name(backbone)
+        self.dnn = dnn_cls(**_filter_kwargs(dnn_cls, kwargs))
+        sde_cls = SDERegistry.get_by_name(sde)
+        self.sde_name = sde
+        self.sde = sde_cls(**_filter_kwargs(sde_cls, kwargs))
+        self.lr = lr
+        self.ema_decay = ema_decay
+        self.t_eps = t_eps
+        self.num_eval_files = num_eval_files
+        self.loss_type = loss_type
+        self.loss_weighting = loss_weighting
+        self.network_scaling = network_scaling
+        self.c_in_type = c_in
+        self.c_out_type = c_out
+        self.c_skip_type = c_skip
+        self.sigma_data = sigma_data
+        self.l1_weight = l1_weight
+        self.pesq_weight = pesq_weight
+        self.sr = sr
+        self.spec = spec if spec is not None else SpecTransform(
+            **{k: v for k, v in kwargs.items()
+               if k in ("n_fft", "hop_length", "window", "transform_type",
+                        "spec_factor", "spec_abs_exponent", "num_frames")})
+        self._extra_kwargs = kwargs
+        if pesq_weight > 0.0:
+            from .utils import pesq_loss  # noqa: F401 — raises if unavailable
+            self._pesq_loss = pesq_loss.PesqLoss(1.0, sample_rate=sr)
+        else:
+            self._pesq_loss = None
+
+    # --- parameter management --------------------------------------------------------
+    def init_params(self, key, num_freqs: Optional[int] = None, num_frames: int = 64,
+                    batch: int = 1):
+        f = num_freqs if num_freqs is not None else self.spec.num_freqs
+        # Pad F to the backbone's expected power-of-two-ish grid (256 bins default).
+        x = jnp.zeros((batch, 1, f, num_frames), dtype=jnp.complex64)
+        t = jnp.ones((batch,), dtype=jnp.float32) * 0.5
+        return self.dnn.init(key, x, x, t)
+
+    # --- preconditioning scalings (reference model.py:312-341) -----------------------
+    def _c_in(self, t):
+        if self.c_in_type == "1":
+            return 1.0
+        elif self.c_in_type == "edm":
+            sigma = self.sde._std(t)
+            return _bcast(1.0 / jnp.sqrt(sigma**2 + self.sigma_data**2))
+        raise ValueError(f"Invalid c_in type: {self.c_in_type}")
+
+    def _c_out(self, t):
+        if self.c_out_type == "1":
+            return 1.0
+        elif self.c_out_type == "sigma":
+            return _bcast(self.sde._std(t))
+        elif self.c_out_type == "1/sigma":
+            return _bcast(1.0 / self.sde._std(t))
+        elif self.c_out_type == "edm":
+            sigma = self.sde._std(t)
+            return _bcast(sigma * self.sigma_data / jnp.sqrt(self.sigma_data**2 + sigma**2))
+        raise ValueError(f"Invalid c_out type: {self.c_out_type}")
+
+    def _c_skip(self, t):
+        if self.c_skip_type == "0":
+            return 0.0
+        elif self.c_skip_type == "edm":
+            sigma = self.sde._std(t)
+            return _bcast(self.sigma_data**2 / (sigma**2 + self.sigma_data**2))
+        raise ValueError(f"Invalid c_skip type: {self.c_skip_type}")
+
+    # --- forward contracts (reference model.py:264-341) ------------------------------
+    def forward(self, variables, x_t, y, t, train: bool = False, rngs=None):
+        apply = lambda xi, yi: self.dnn.apply(variables, xi, yi, t, train=train,
+                                              rngs=rngs)
+        if self.backbone == "ncsnpp_v2":
+            c_in = self._c_in(t)
+            F = apply(c_in * x_t, c_in * y)
+            if self.network_scaling == "1/sigma":
+                F = F / _bcast(self.sde._std(t))
+            elif self.network_scaling == "1/t":
+                F = F / _bcast(t)
+            if self.loss_type == "score_matching":
+                return self._c_skip(t) * x_t + self._c_out(t) * F
+            elif self.loss_type == "denoiser":
+                sigmas = _bcast(self.sde._std(t))
+                return (F - x_t) / sigmas**2
+            elif self.loss_type == "data_prediction":
+                return self._c_skip(t) * x_t + self._c_out(t) * F
+            raise ValueError(f"Invalid loss type: {self.loss_type}")
+        else:
+            # Legacy contract: score = -dnn(x_t, y, t) (reference model.py:306-310).
+            return -apply(x_t, y)
+
+    def score_fn(self, variables) -> Callable:
+        """Bind parameters: returns score_fn(x, y, t) for the samplers."""
+        def fn(x, y, t):
+            return self.forward(variables, x, y, t, train=False)
+        return fn
+
+    # --- losses (reference model.py:127-187) -----------------------------------------
+    def _loss(self, forward_out, x_t, z, t, mean, x):
+        sigma = _bcast(self.sde._std(t))
+
+        def _sum_mean(losses):
+            b = losses.shape[0]
+            return jnp.mean(0.5 * jnp.sum(losses.reshape(b, -1), axis=-1))
+
+        if self.loss_type == "score_matching":
+            score = forward_out
+            if self.loss_weighting != "sigma^2":
+                raise ValueError(
+                    f"Invalid loss weighting for loss_type=score_matching: {self.loss_weighting}")
+            losses = jnp.abs(score * sigma + z) ** 2  # Eq. (7)
+            return _sum_mean(losses)
+
+        elif self.loss_type == "denoiser":
+            score = forward_out
+            D = score * sigma**2 + x_t  # Eq. (10)
+            losses = jnp.abs(D - mean) ** 2  # Eq. (8)
+            if self.loss_weighting == "1":
+                pass
+            elif self.loss_weighting == "sigma^2":
+                losses = losses * sigma**2
+            elif self.loss_weighting == "edm":
+                losses = (sigma**2 + self.sigma_data**2) / ((sigma * self.sigma_data) ** 2) * losses
+            else:
+                raise ValueError(
+                    f"Invalid loss weighting for loss_type=denoiser: {self.loss_weighting}")
+            return _sum_mean(losses)
+
+        elif self.loss_type == "data_prediction":
+            x_hat = forward_out
+            b, c, f, tt = x.shape
+            losses_tf = (1.0 / (f * tt)) * jnp.abs(x_hat - x) ** 2
+            loss_tf = _sum_mean(losses_tf)
+
+            target_len = self.spec.target_len
+            x_hat_td = self.to_audio(x_hat[:, 0], target_len)
+            x_td = self.to_audio(x[:, 0], target_len)
+            losses_l1 = (1.0 / target_len) * jnp.abs(x_hat_td - x_td)
+            loss_l1 = _sum_mean(losses_l1)
+
+            if self.pesq_weight > 0.0 and self._pesq_loss is not None:
+                loss_pesq = jnp.mean(self._pesq_loss(x_td, x_hat_td))
+                return loss_tf + self.l1_weight * loss_l1 + self.pesq_weight * loss_pesq
+            return loss_tf + self.l1_weight * loss_l1
+
+        raise ValueError(f"Invalid loss type: {self.loss_type}")
+
+    def step_loss(self, variables, batch, key, train: bool = True):
+        """One training/validation loss evaluation (reference model.py:189-198)."""
+        x, y = batch
+        kt, kz, kd = jax.random.split(key, 3)
+        b = x.shape[0]
+        t = jax.random.uniform(kt, (b,), minval=self.t_eps, maxval=self.sde.T)
+        mean, std = self.sde.marginal_prob(x, y, t)
+        z = crandn(kz, x.shape)
+        x_t = mean + _bcast(std) * z
+        rngs = {"dropout": kd} if train else None
+        forward_out = self.forward(variables, x_t, y, t, train=train, rngs=rngs)
+        return self._loss(forward_out, x_t, z, t, mean, x)
+
+    # --- DSP passthroughs (reference model.py:411-424) -------------------------------
+    def to_audio(self, spec, length: Optional[int] = None):
+        return self.spec.spec_to_wav(spec, length=length)
+
+    # --- samplers (reference model.py:348-397) ---------------------------------------
+    def get_pc_sampler(self, predictor_name, corrector_name, variables, y,
+                       N: Optional[int] = None, minibatch: Optional[int] = None, **kwargs):
+        sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
+        kwargs = {"eps": self.t_eps, **kwargs}
+        score = self.score_fn(variables)
+        if minibatch is None:
+            return sampling.get_pc_sampler(predictor_name, corrector_name, sde=sde,
+                                           score_fn=score, y=y, **kwargs)
+        else:
+            m = y.shape[0]
+
+            def batched_sampling_fn(key):
+                samples, ns = [], []
+                for i in range(int(math.ceil(m / minibatch))):
+                    key, sub = jax.random.split(key)
+                    y_mini = y[i * minibatch:(i + 1) * minibatch]
+                    sampler = sampling.get_pc_sampler(
+                        predictor_name, corrector_name, sde=sde, score_fn=score,
+                        y=y_mini, **kwargs)
+                    sample, n = sampler(sub)
+                    samples.append(sample)
+                    ns.append(n)
+                return jnp.concatenate(samples, axis=0), ns
+
+            return batched_sampling_fn
+
+    def get_ode_sampler(self, variables, y, N: Optional[int] = None,
+                        minibatch: Optional[int] = None, **kwargs):
+        sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
+        kwargs = {"eps": self.t_eps, **kwargs}
+        score = self.score_fn(variables)
+        if minibatch is None:
+            return sampling.get_ode_sampler(sde, score, y=y, **kwargs)
+        else:
+            m = y.shape[0]
+
+            def batched_sampling_fn(key):
+                samples, ns = [], []
+                for i in range(int(math.ceil(m / minibatch))):
+                    key, sub = jax.random.split(key)
+                    y_mini = y[i * minibatch:(i + 1) * minibatch]
+                    sampler = sampling.get_ode_sampler(sde, score, y=y_mini, **kwargs)
+                    sample, n = sampler(sub)
+                    samples.append(sample)
+                    ns.append(n)
+                return jnp.concatenate(samples, axis=0), ns
+
+            return batched_sampling_fn
+
+    def get_sb_sampler(self, variables, y, sampler_type: str = "ode",
+                       N: Optional[int] = None, **kwargs):
+        sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
+        model_fn = self.score_fn(variables)  # data-prediction mode forward
+        return sampling.get_sb_sampler(sde, model_fn, y=y, sampler_type=sampler_type,
+                                       **kwargs)
+
+    # --- one-call enhancement (reference model.py:426-465) ---------------------------
+    def enhance(self, variables, y_wav, key=None, sampler_type: str = "pc",
+                predictor: str = "reverse_diffusion", corrector: str = "ald",
+                N: int = 30, corrector_steps: int = 1, snr: float = 0.5,
+                timeit: bool = False, pad_mode: str = "zero_pad", **kwargs):
+        """Enhance a noisy waveform (1-D array) end to end.
+
+        Follows the reference pipeline: max-abs normalize -> STFT + compression
+        transform -> pad T to multiple of 64 -> reverse sampling -> inverse
+        transform + iSTFT -> un-normalize.
+        """
+        if key is None:
+            key = jax.random.key(int(time.time() * 1e6) % (2**31))
+        start = time.time()
+        y_wav = jnp.asarray(y_wav)
+        squeeze = y_wav.ndim == 1
+        if squeeze:
+            y_wav = y_wav[None]
+        t_orig = y_wav.shape[-1]
+        norm_factor = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+        y_norm = y_wav / norm_factor
+        Y = self.spec.wav_to_spec(y_norm)[:, None]  # (B, 1, F, T)
+        Y = pad_spec(Y, mode=pad_mode)
+
+        if self.sde_name == "ouve":
+            if self.sde.sampler_type == "pc":
+                sampler = self.get_pc_sampler(predictor, corrector, variables, Y, N=N,
+                                              corrector_steps=corrector_steps, snr=snr,
+                                              **kwargs)
+            elif self.sde.sampler_type == "ode":
+                sampler = self.get_ode_sampler(variables, Y, N=N, **kwargs)
+            else:
+                raise ValueError(
+                    f"Invalid sampler type for SGMSE sampling: {self.sde.sampler_type}")
+        elif self.sde_name == "sbve":
+            sampler = self.get_sb_sampler(variables, Y,
+                                          sampler_type=self.sde.sampler_type, **kwargs)
+        else:
+            raise ValueError(f"Invalid SDE type for speech enhancement: {self.sde_name}")
+
+        sample, nfe = sampler(key)
+        x_hat = self.to_audio(sample[:, 0], t_orig)
+        x_hat = x_hat * norm_factor
+        x_hat.block_until_ready()
+        end = time.time()
+        x_hat = np.asarray(x_hat)
+        if squeeze:
+            x_hat = x_hat[0]
+        if timeit:
+            rtf = (end - start) / (x_hat.shape[-1] / self.sr)
+            return x_hat, nfe, rtf
+        return x_hat
+
+    # --- config round-trip (for checkpoint embedding) --------------------------------
+    def config_dict(self) -> dict:
+        cfg = dict(
+            backbone=self.backbone, sde=self.sde_name, lr=self.lr,
+            ema_decay=self.ema_decay, t_eps=self.t_eps,
+            num_eval_files=self.num_eval_files, loss_type=self.loss_type,
+            loss_weighting=self.loss_weighting, network_scaling=self.network_scaling,
+            c_in=self.c_in_type, c_out=self.c_out_type, c_skip=self.c_skip_type,
+            sigma_data=self.sigma_data, l1_weight=self.l1_weight,
+            pesq_weight=self.pesq_weight, sr=self.sr,
+        )
+        cfg.update(self.spec.config_dict())
+        cfg.update(self.sde.config_dict())
+        # Backbone fields (hashable -> plain python)
+        for f in dataclasses.fields(self.dnn):
+            if f.name in ("parent", "name"):
+                continue
+            v = getattr(self.dnn, f.name)
+            cfg[f.name] = list(v) if isinstance(v, tuple) else v
+        return cfg
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "ScoreModel":
+        cfg = dict(cfg)
+        backbone = cfg.pop("backbone")
+        sde = cfg.pop("sde")
+        return cls(backbone, sde, **cfg)

@@ -1,0 +1,362 @@
+"""Reverse-diffusion samplers: Predictor-Corrector, probability-flow ODE, and
+Schroedinger-bridge samplers — each compiled as ONE jitted ``lax.scan`` over the
+N reverse steps, with batched utterances.
+
+Capability parity with /root/reference/sgmse/sampling/ (predictors.py,
+correctors.py, __init__.py), re-designed TPU-first: the reference drives a
+Python loop with 2N sequential device launches per utterance (batch=1) and, for
+the ODE path, a host<->device round-trip per function evaluation
+(sampling/__init__.py:57-65, 121-131). Here the whole trajectory traces into a
+single XLA program: no Python in the hot loop, no host sync until the final
+sample, and arbitrary utterance batching.
+
+Predictor/corrector algorithms are pure step functions looked up from
+registries (parity with PredictorRegistry/CorrectorRegistry,
+predictors.py:9/correctors.py:8).
+
+score_fn convention: ``score_fn(x, y, t) -> score`` with complex (B, C, F, T)
+states and ``t`` of shape (B,).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sdes import SDE, SBVESDE, crandn
+from .utils.registry import Registry
+
+PredictorRegistry = Registry("Predictor")
+CorrectorRegistry = Registry("Corrector")
+
+
+def _bcast(c):
+    return c[:, None, None, None]
+
+
+# ---------------------------------------------------------------------------------------
+# Predictors (reference sampling/predictors.py:41-76)
+# ---------------------------------------------------------------------------------------
+
+@PredictorRegistry.register("reverse_diffusion")
+def reverse_diffusion_predictor(sde: SDE, score_fn, probability_flow: bool = False):
+    """x_mean = x - rev_f; x = x_mean + rev_G z (reference predictors.py:55-65)."""
+
+    def update(x, y, t, stepsize, key):
+        score = score_fn(x, y, t)
+        rev_f, rev_G = sde.reverse_discretize(score, x, y, t, stepsize,
+                                              probability_flow=probability_flow)
+        z = crandn(key, x.shape)
+        x_mean = x - rev_f
+        x_new = x_mean + _bcast(rev_G) * z
+        return x_new, x_mean
+
+    return update
+
+
+@PredictorRegistry.register("euler_maruyama")
+def euler_maruyama_predictor(sde: SDE, score_fn, probability_flow: bool = False):
+    """Fixed dt = -1/N Euler-Maruyama step (reference predictors.py:41-52)."""
+
+    def update(x, y, t, stepsize, key):
+        del stepsize
+        dt = -1.0 / sde.N
+        z = crandn(key, x.shape)
+        score = score_fn(x, y, t)
+        f, g = sde.reverse_sde(score, x, y, t, probability_flow=probability_flow)
+        x_mean = x + f * dt
+        x_new = x_mean + _bcast(g) * math.sqrt(-dt) * z
+        return x_new, x_mean
+
+    return update
+
+
+@PredictorRegistry.register("none")
+def none_predictor(sde: SDE, score_fn, probability_flow: bool = False):
+    def update(x, y, t, stepsize, key):
+        return x, x
+
+    return update
+
+
+# ---------------------------------------------------------------------------------------
+# Correctors (reference sampling/correctors.py:37-94)
+# ---------------------------------------------------------------------------------------
+
+@CorrectorRegistry.register("ald")
+def ald_corrector(sde: SDE, score_fn, snr: float, n_steps: int):
+    """Annealed Langevin dynamics: step = 2(snr*sigma(t))^2 (reference correctors.py:59-81)."""
+
+    def update(x, y, t, key):
+        std = sde.marginal_prob(x, y, t)[1]
+        step_size = (snr * std) ** 2 * 2.0
+        x_mean = x
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            grad = score_fn(x, y, t)
+            noise = crandn(sub, x.shape)
+            x_mean = x + _bcast(step_size) * grad
+            x = x_mean + noise * _bcast(jnp.sqrt(step_size * 2.0))
+        return x, x_mean
+
+    return update
+
+
+@CorrectorRegistry.register("langevin")
+def langevin_corrector(sde: SDE, score_fn, snr: float, n_steps: int):
+    """Step size from grad/noise norm ratio (reference correctors.py:37-56)."""
+
+    def update(x, y, t, key):
+        x_mean = x
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            grad = score_fn(x, y, t)
+            noise = crandn(sub, x.shape)
+            b = grad.shape[0]
+            grad_norm = jnp.mean(jnp.linalg.norm(grad.reshape(b, -1), axis=-1))
+            noise_norm = jnp.mean(jnp.linalg.norm(noise.reshape(b, -1), axis=-1))
+            step_size = ((snr * noise_norm / grad_norm) ** 2 * 2.0)[None]
+            x_mean = x + _bcast(step_size) * grad
+            x = x_mean + noise * jnp.sqrt(step_size * 2.0)[:, None, None, None]
+        return x, x_mean
+
+    return update
+
+
+@CorrectorRegistry.register("none")
+def none_corrector(sde: SDE, score_fn, snr: float, n_steps: int):
+    def update(x, y, t, key):
+        return x, x
+
+    return update
+
+
+# ---------------------------------------------------------------------------------------
+# Predictor-Corrector sampler: one lax.scan over N steps
+# ---------------------------------------------------------------------------------------
+
+def get_pc_sampler(
+    predictor_name: str,
+    corrector_name: str,
+    sde: SDE,
+    score_fn: Callable,
+    y: jnp.ndarray,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    snr: float = 0.1,
+    corrector_steps: int = 1,
+    probability_flow: bool = False,
+    intermediate: bool = False,
+    **ignored_kwargs,
+):
+    """Predictor-Corrector sampler factory (API parity: sampling/__init__.py:26-70).
+
+    Returns ``sampler(key) -> (sample, nfe)``. The whole N-step trajectory is a
+    single jitted lax.scan; `nfe` is the static NFE count N*(corrector_steps+1)
+    for non-'none' correctors (reference line 67).
+    """
+    predictor = PredictorRegistry.get_by_name(predictor_name)(
+        sde, score_fn, probability_flow=probability_flow)
+    corrector = CorrectorRegistry.get_by_name(corrector_name)(
+        sde, score_fn, snr=snr, n_steps=corrector_steps)
+    actual_corrector_steps = 0 if corrector_name == "none" else corrector_steps
+
+    n = sde.N
+    timesteps = jnp.linspace(sde.T, eps, n)
+    # Non-uniform last step: eps -> 0 (reference sampling/__init__.py:59-62).
+    stepsizes = jnp.concatenate([timesteps[:-1] - timesteps[1:], timesteps[-1:]])
+
+    @jax.jit
+    def sampler(key, y):
+        key, kprior = jax.random.split(key)
+        xt = sde.prior_sampling(kprior, y)
+        batch = y.shape[0]
+
+        def step(carry, inp):
+            x, k = carry
+            t, dt = inp
+            vec_t = jnp.ones((batch,), dtype=jnp.float32) * t
+            k, kc, kp = jax.random.split(k, 3)
+            x, _ = corrector(x, y, vec_t, kc)
+            x, _ = predictor(x, y, vec_t, dt, kp)
+            return (x, k), None
+
+        (xt, _), _ = jax.lax.scan(step, (xt, key), (timesteps[:-1], stepsizes[:-1]))
+
+        # Final step separately so we can keep x_mean for denoising.
+        vec_t = jnp.ones((batch,), dtype=jnp.float32) * timesteps[-1]
+        key, kc, kp = jax.random.split(key, 3)
+        xt, xt_mean = corrector(xt, y, vec_t, kc)
+        xt, xt_mean = predictor(xt, y, vec_t, stepsizes[-1], kp)
+        return xt_mean if denoise else xt
+
+    nfe = n * (actual_corrector_steps + 1)
+
+    def sample(key):
+        return sampler(key, y), nfe
+
+    return sample
+
+
+# ---------------------------------------------------------------------------------------
+# Probability-flow ODE sampler
+# ---------------------------------------------------------------------------------------
+
+def get_ode_sampler(
+    sde: SDE,
+    score_fn: Callable,
+    y: jnp.ndarray,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    N: Optional[int] = None,
+    method: str = "rk45",
+    **ignored_kwargs,
+):
+    """Probability-flow ODE sampler, fixed-step Runge-Kutta inside lax.scan.
+
+    The reference (sampling/__init__.py:73-143) drives scipy's adaptive RK45
+    from the host with two device round-trips per NFE; on TPU we integrate with
+    a fixed-step Dormand-Prince(4/5) / RK4 scan that stays on device. NFE is
+    reported as the actual number of score evaluations.
+    """
+    n = N if N is not None else sde.N
+
+    ts = jnp.linspace(sde.T, eps, n + 1)
+
+    @jax.jit
+    def sampler(key, y):
+        def drift_fn(x, t):
+            vec_t = jnp.ones((y.shape[0],), dtype=jnp.float32) * t
+            score = score_fn(x, y, vec_t)
+            drift, _ = sde.reverse_sde(score, x, y, vec_t, probability_flow=True)
+            return drift
+
+        x0 = sde.prior_sampling(key, y)
+
+        def rk4_step(x, i):
+            t0, t1 = ts[i], ts[i + 1]
+            h = t1 - t0  # negative (reverse time)
+            k1 = drift_fn(x, t0)
+            k2 = drift_fn(x + 0.5 * h * k1, t0 + 0.5 * h)
+            k3 = drift_fn(x + 0.5 * h * k2, t0 + 0.5 * h)
+            k4 = drift_fn(x + h * k3, t1)
+            return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+        x, _ = jax.lax.scan(rk4_step, x0, jnp.arange(n))
+
+        if denoise:
+            # One denoising reverse-diffusion step at t=eps (reference lines 99-102).
+            vec_eps = jnp.ones((y.shape[0],), dtype=jnp.float32) * eps
+            score = score_fn(x, y, vec_eps)
+            rev_f, _ = sde.reverse_discretize(score, x, y, vec_eps, vec_eps[0],
+                                              probability_flow=False)
+            x = x - rev_f
+        return x
+
+    nfe = 4 * n + (1 if denoise else 0)
+
+    def sample(key):
+        return sampler(key, y), nfe
+
+    return sample
+
+
+# ---------------------------------------------------------------------------------------
+# Schroedinger-bridge samplers (reference sampling/__init__.py:145-249)
+# ---------------------------------------------------------------------------------------
+
+def get_sb_sampler(
+    sde: SBVESDE,
+    model_fn: Callable,
+    y: jnp.ndarray,
+    eps: float = 1e-4,
+    sampler_type: str = "ode",
+    **ignored_kwargs,
+):
+    """First-order SB samplers (SDE and ODE variants), one lax.scan each.
+
+    ``model_fn(x, y, t)`` is called in data-prediction mode (returns x_hat).
+    ``xt`` starts at ``y`` exactly (reference lines 150, 198).
+    """
+    n = sde.N
+    time_steps = jnp.linspace(sde.T, eps, n + 1)
+
+    def tables(t_scalar):
+        vec = jnp.ones((y.shape[0],), dtype=jnp.float32) * t_scalar
+        return vec, sde.sigmas_alphas(vec)
+
+    @jax.jit
+    def sde_sampler(key, y):
+        xt = y[:, :1, :, :]  # special case for multi-channel inputs (reference line 150)
+        _, (sigma_prev, sigma_T, sigma_bar_prev, alpha_prev, alpha_T, alpha_bar_prev) = \
+            tables(time_steps[0])
+
+        def step(carry, inp):
+            xt, alpha_prev, sigma_prev, sigma_bar_prev, k = carry
+            t, is_last = inp
+            vec_t = jnp.ones((y.shape[0],), dtype=jnp.float32) * t
+            sigma_t, sigma_T, sigma_bart, alpha_t, alpha_T, alpha_bart = \
+                sde.sigmas_alphas(vec_t)
+            est = model_fn(xt, y, vec_t)
+            weight_prev = alpha_t * sigma_t**2 / (alpha_prev * sigma_prev**2 + sde.eps)
+            tmp = 1.0 - sigma_t**2 / (sigma_prev**2 + sde.eps)
+            weight_estimate = alpha_t * tmp
+            weight_z = alpha_t * sigma_t * jnp.sqrt(tmp)
+            weight_z = jnp.where(is_last, 0.0, weight_z)
+            k, sub = jax.random.split(k)
+            z = crandn(sub, xt.shape)
+            xt = (_bcast(weight_prev) * xt + _bcast(weight_estimate) * est
+                  + _bcast(weight_z) * z)
+            return (xt, alpha_t, sigma_t, sigma_bart, k), None
+
+        is_last = jnp.arange(1, n + 1) == n
+        (xt, *_), _ = jax.lax.scan(
+            step, (xt, alpha_prev, sigma_prev, sigma_bar_prev, key),
+            (time_steps[1:], is_last))
+        return xt
+
+    @jax.jit
+    def ode_sampler(key, y):
+        del key
+        xt = y
+        _, (sigma_prev, sigma_T, sigma_bar_prev, alpha_prev, alpha_T, alpha_bar_prev) = \
+            tables(time_steps[0])
+
+        def step(carry, t):
+            xt, alpha_prev, sigma_prev, sigma_bar_prev = carry
+            vec_t = jnp.ones((y.shape[0],), dtype=jnp.float32) * t
+            sigma_t, sigma_T, sigma_bart, alpha_t, alpha_T, alpha_bart = \
+                sde.sigmas_alphas(vec_t)
+            est = model_fn(xt, y, vec_t)
+            weight_prev = (alpha_t * sigma_t * sigma_bart
+                           / (alpha_prev * sigma_prev * sigma_bar_prev + sde.eps))
+            weight_estimate = (alpha_t / (sigma_T**2 + sde.eps)
+                               * (sigma_bart**2
+                                  - sigma_bar_prev * sigma_t * sigma_bart
+                                  / (sigma_prev + sde.eps)))
+            weight_prior_mean = (alpha_t / (alpha_T * sigma_T**2 + sde.eps)
+                                 * (sigma_t**2
+                                    - sigma_prev * sigma_t * sigma_bart
+                                    / (sigma_bar_prev + sde.eps)))
+            xt = (_bcast(weight_prev) * xt + _bcast(weight_estimate) * est
+                  + _bcast(weight_prior_mean) * y)
+            return (xt, alpha_t, sigma_t, sigma_bart), None
+
+        (xt, *_), _ = jax.lax.scan(
+            step, (xt, alpha_prev, sigma_prev, sigma_bar_prev), time_steps[1:])
+        return xt
+
+    if sampler_type == "sde":
+        inner = sde_sampler
+    elif sampler_type == "ode":
+        inner = ode_sampler
+    else:
+        raise ValueError("Invalid type. Choose 'ode' or 'sde'.")
+
+    def sample(key):
+        return inner(key, y), n
+
+    return sample

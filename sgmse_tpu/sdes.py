@@ -188,14 +188,23 @@ class SBVESDE(SDE):
         return drift, diffusion * jnp.ones_like(t)
 
     def sigmas_alphas(self, t):
-        """Closed-form noise-schedule table (reference sdes.py:275-286)."""
+        """Closed-form noise-schedule table (reference sdes.py:275-286).
+
+        Numerically stabilized vs the reference: ``sigma_T^2 - sigma_t^2``
+        suffers catastrophic cancellation as t -> T (the two large squares are
+        rounded independently, and under XLA constant-folding the rounding can
+        differ from the eager path, corrupting sigma_bar by ~10x). We compute
+        the difference in closed form via expm1:
+            sigma_T^2 - sigma_t^2 = c * k^{2t} * expm1(2 ln k (T - t)) / (2 ln k).
+        """
         alpha_t = jnp.ones_like(t)
         alpha_T = jnp.ones_like(t)
         two_log_k = 2.0 * math.log(self.k)
-        sigma_t = jnp.sqrt(self.c * (self.k ** (2.0 * t) - 1.0) / two_log_k)
-        sigma_T = jnp.sqrt(self.c * (self.k ** (2.0 * self.T) - 1.0) / two_log_k) * jnp.ones_like(t)
+        sigma_t = jnp.sqrt(self.c * jnp.expm1(two_log_k * t) / two_log_k)
+        sigma_T = jnp.sqrt(self.c * math.expm1(two_log_k * self.T) / two_log_k) * jnp.ones_like(t)
         alpha_bart = alpha_t / (alpha_T + self.eps)
-        sigma_bart = jnp.sqrt(sigma_T**2 - sigma_t**2 + self.eps)
+        var_diff = self.c * jnp.exp(two_log_k * t) * jnp.expm1(two_log_k * (self.T - t)) / two_log_k
+        sigma_bart = jnp.sqrt(var_diff + self.eps)
         return sigma_t, sigma_T, sigma_bart, alpha_t, alpha_T, alpha_bart
 
     def _mean(self, x0, y, t):

@@ -1,0 +1,123 @@
+"""ScoreModel tests: forward contracts, losses, end-to-end enhance on a tiny net."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgmse_tpu.model import ScoreModel
+from sgmse_tpu.sdes import crandn
+
+TINY = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=1, attn_resolutions=(16,),
+            image_size=64, n_fft=126, hop_length=32, num_frames=64)
+# n_fft=126 -> 64 freq bins, so the tiny U-Net sees (64, T) grids.
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    variables = model.init_params(jax.random.key(0), num_frames=64)
+    return model, variables
+
+
+def test_config_roundtrip(model_and_params):
+    model, _ = model_and_params
+    cfg = model.config_dict()
+    model2 = ScoreModel.from_config(cfg)
+    assert model2.backbone == "ncsnpp"
+    assert model2.sde == model.sde
+    assert model2.spec.n_fft == 126
+    assert model2.dnn.nf == 16
+
+
+def test_forward_legacy_contract(model_and_params):
+    """Legacy backbones: score = -dnn(x_t, y, t) (reference model.py:306-310)."""
+    model, variables = model_and_params
+    x = crandn(jax.random.key(1), (2, 1, 64, 64))
+    y = crandn(jax.random.key(2), (2, 1, 64, 64))
+    t = jnp.asarray([0.5, 0.8])
+    score = model.forward(variables, x, y, t)
+    direct = model.dnn.apply(variables, x, y, t)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(-direct), atol=1e-6)
+
+
+def test_step_loss_finite_and_positive(model_and_params):
+    model, variables = model_and_params
+    x = crandn(jax.random.key(1), (2, 1, 64, 64)) * 0.1
+    y = crandn(jax.random.key(2), (2, 1, 64, 64)) * 0.1
+    loss = model.step_loss(variables, (x, y), jax.random.key(3))
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+
+
+def test_score_matching_loss_formula():
+    """loss = mean(0.5 * sum |sigma*score + z|^2) (reference model.py:139-146)."""
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    b = 2
+    t = jnp.asarray([0.4, 0.6])
+    sigma = model.sde._std(t)[:, None, None, None]
+    z = crandn(jax.random.key(0), (b, 1, 8, 8))
+    score = crandn(jax.random.key(1), (b, 1, 8, 8))
+    loss = model._loss(score, None, z, t, None, None)
+    ref = np.mean(0.5 * np.sum(np.abs(np.asarray(score * sigma + z)) ** 2,
+                               axis=(1, 2, 3)))
+    np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+
+
+def test_denoiser_loss_weightings():
+    model = ScoreModel("ncsnpp_v2", "ouve", loss_type="denoiser",
+                       loss_weighting="edm", **TINY)
+    b = 2
+    t = jnp.asarray([0.4, 0.6])
+    score = crandn(jax.random.key(1), (b, 1, 8, 8))
+    x_t = crandn(jax.random.key(2), (b, 1, 8, 8))
+    mean = crandn(jax.random.key(3), (b, 1, 8, 8))
+    loss = model._loss(score, x_t, None, t, mean, None)
+    assert np.isfinite(float(loss))
+
+
+def test_data_prediction_loss():
+    model = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction", **TINY)
+    b = 2
+    f, tt = 64, 64
+    t = jnp.asarray([0.4, 0.6])
+    x_hat = crandn(jax.random.key(1), (b, 1, f, tt)) * 0.1
+    x = crandn(jax.random.key(2), (b, 1, f, tt)) * 0.1
+    loss = model._loss(x_hat, None, None, t, None, x)
+    assert np.isfinite(float(loss))
+    # zero error => zero loss
+    loss0 = model._loss(x, None, None, t, None, x)
+    assert float(loss0) < 1e-10
+
+
+def test_v2_preconditioning_contract():
+    model = ScoreModel("ncsnpp_v2", "ouve", loss_type="score_matching",
+                       c_in="edm", c_out="edm", c_skip="edm", **TINY)
+    variables = model.init_params(jax.random.key(0), num_frames=64)
+    x = crandn(jax.random.key(1), (1, 1, 64, 64))
+    y = crandn(jax.random.key(2), (1, 1, 64, 64))
+    t = jnp.asarray([0.5])
+    out = model.forward(variables, x, y, t)
+    assert out.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out.real)))
+
+
+def test_enhance_end_to_end(model_and_params):
+    """Full pipeline on random audio: wav -> spec -> PC sampling -> wav."""
+    model, variables = model_and_params
+    rng = np.random.default_rng(0)
+    y_wav = rng.standard_normal(4000).astype(np.float32) * 0.1
+    x_hat = model.enhance(variables, y_wav, key=jax.random.key(0), N=3)
+    assert x_hat.shape == y_wav.shape
+    assert np.all(np.isfinite(x_hat))
+
+
+def test_enhance_batched(model_and_params):
+    model, variables = model_and_params
+    rng = np.random.default_rng(0)
+    y_wav = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+    x_hat, nfe, rtf = model.enhance(variables, y_wav, key=jax.random.key(0), N=2,
+                                    timeit=True)
+    assert x_hat.shape == y_wav.shape
+    assert nfe == 4
+    assert rtf > 0

@@ -1,0 +1,101 @@
+"""Sampler correctness: with an oracle score the PC/ODE samplers must invert the
+forward diffusion; registries expose the reference algorithm names."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgmse_tpu import sampling
+from sgmse_tpu.sdes import OUVESDE, SBVESDE, crandn
+
+
+def _oracle_score(sde, x0):
+    """Exact score of p_t(x | x0, y) = CN(mean(t), std(t)^2): -(x - mean)/std^2."""
+    def score(x, y, t):
+        mean, std = sde.marginal_prob(x0, y, t)
+        return -(x - mean) / (std[:, None, None, None] ** 2)
+    return score
+
+
+def test_registries():
+    assert set(sampling.PredictorRegistry.get_all_names()) >= {
+        "reverse_diffusion", "euler_maruyama", "none"}
+    assert set(sampling.CorrectorRegistry.get_all_names()) >= {"ald", "langevin", "none"}
+
+
+@pytest.mark.parametrize("predictor,corrector", [
+    ("reverse_diffusion", "ald"),
+    ("euler_maruyama", "none"),
+    ("reverse_diffusion", "langevin"),
+])
+def test_pc_sampler_inverts_diffusion(predictor, corrector):
+    sde = OUVESDE(N=30)
+    key = jax.random.key(0)
+    x0 = crandn(jax.random.key(1), (2, 1, 16, 16)) * 0.3
+    y = x0 + crandn(jax.random.key(2), (2, 1, 16, 16)) * 0.1
+
+    sampler = sampling.get_pc_sampler(
+        predictor, corrector, sde, _oracle_score(sde, x0), y,
+        denoise=True, eps=0.03, snr=0.5, corrector_steps=1)
+    sample, nfe = sampler(key)
+    assert sample.shape == x0.shape
+    err = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
+    assert err < 0.15, f"relative error {err}"
+    if corrector == "none":
+        assert nfe == 30
+    else:
+        assert nfe == 60
+
+
+def test_pc_sampler_none_both():
+    """'none' predictor+corrector returns the prior sample unchanged (smoke)."""
+    sde = OUVESDE(N=5)
+    y = crandn(jax.random.key(0), (1, 1, 8, 8))
+    sampler = sampling.get_pc_sampler("none", "none", sde,
+                                      lambda x, y, t: jnp.zeros_like(x), y)
+    sample, nfe = sampler(jax.random.key(1))
+    assert nfe == 5
+    assert sample.shape == y.shape
+
+
+def test_ode_sampler_inverts_diffusion():
+    sde = OUVESDE(N=30)
+    x0 = crandn(jax.random.key(1), (1, 1, 16, 16)) * 0.3
+    y = x0 + crandn(jax.random.key(2), (1, 1, 16, 16)) * 0.1
+    sampler = sampling.get_ode_sampler(sde, _oracle_score(sde, x0), y, eps=0.03)
+    sample, nfe = sampler(jax.random.key(0))
+    err = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
+    assert err < 0.15, f"relative error {err}"
+    assert nfe == 121  # 4*30 + denoise
+
+
+@pytest.mark.parametrize("sampler_type", ["ode", "sde"])
+def test_sb_sampler_with_oracle_data_prediction(sampler_type):
+    """With a model that always predicts x0 exactly, the SB samplers must
+    land on (approximately) x0."""
+    sde = SBVESDE(N=50)
+    x0 = crandn(jax.random.key(1), (2, 1, 16, 16)) * 0.3
+    y = x0 + crandn(jax.random.key(2), (2, 1, 16, 16)) * 0.2
+
+    def model_fn(x, yy, t):
+        return x0
+
+    sampler = sampling.get_sb_sampler(sde, model_fn, y, sampler_type=sampler_type)
+    sample, nfe = sampler(jax.random.key(3))
+    assert nfe == 50
+    err = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
+    assert err < 0.1, f"relative error {err}"
+
+
+def test_pc_sampler_batch_consistency():
+    """Batched sampling must equal per-item sampling distributions (shape check +
+    determinism given a key)."""
+    sde = OUVESDE(N=10)
+    x0 = crandn(jax.random.key(1), (3, 1, 8, 8))
+    y = x0
+    sampler = sampling.get_pc_sampler("reverse_diffusion", "ald", sde,
+                                      _oracle_score(sde, x0), y, snr=0.5)
+    s1, _ = sampler(jax.random.key(5))
+    s2, _ = sampler(jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
