@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: enhancement throughput (inverse RTF) at the reference's default
+inference config — PC sampler, reverse_diffusion + ald, N=30, snr=0.5,
+corrector_steps=1 => 60 NFE per utterance (reference enhancement.py:24-30,
+sampling/__init__.py:67) — on the flagship 65M-param NCSN++ model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": V, "unit": "audio_sec_per_wall_sec", "vs_baseline": R}
+
+value: audio-seconds enhanced per wall-second with OUR pipeline (whole N-step
+trajectory in one jitted lax.scan, utterances batched).
+
+vs_baseline: speedup vs a reference-style driver measured on the SAME device:
+batch=1 per utterance and a host-driven Python loop over the 2N
+predictor/corrector calls with a host sync per step — the launch pattern of the
+PyTorch reference's PC loop (sampling/__init__.py:52-68). Same model, same math,
+same chip; the ratio isolates the architectural win (scan + batching + fusion).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from sgmse_tpu.model import ScoreModel
+    from sgmse_tpu.sdes import crandn
+    from sgmse_tpu import sampling
+
+    sr = 16000
+    batch = 4
+    num_frames = 256  # 2.04 s per utterance at hop 128
+    n_steps = 30
+    snr = 0.5
+
+    model = ScoreModel("ncsnpp", "ouve")
+    variables = model.init_params(jax.random.key(0), num_frames=num_frames)
+    f = model.spec.num_freqs
+    audio_sec_per_utt = (num_frames - 1) * model.spec.hop_length / sr
+
+    y = crandn(jax.random.key(1), (batch, 1, f, num_frames)) * 0.1
+    score_fn = model.score_fn(variables)
+
+    # ---- ours: batched, one jitted scan --------------------------------------------
+    sampler = sampling.get_pc_sampler(
+        "reverse_diffusion", "ald", model.sde, score_fn, y,
+        denoise=True, eps=model.t_eps, snr=snr, corrector_steps=1)
+    sampler(jax.random.key(2))[0].block_until_ready()  # warmup/compile
+    t0 = time.time()
+    reps = 3
+    for i in range(reps):
+        sampler(jax.random.key(3 + i))[0].block_until_ready()
+    ours_wall = (time.time() - t0) / reps
+    ours_value = batch * audio_sec_per_utt / ours_wall
+
+    # ---- reference-style driver: batch=1, python loop, host sync per step ----------
+    sde = model.sde
+
+    @jax.jit
+    def corrector_step(x, y1, t, key):
+        std = sde.marginal_prob(x, y1, t)[1]
+        step_size = (snr * std) ** 2 * 2.0
+        grad = score_fn(x, y1, t)
+        noise = crandn(key, x.shape)
+        x_mean = x + step_size[:, None, None, None] * grad
+        return x_mean + noise * jnp.sqrt(step_size * 2.0)[:, None, None, None]
+
+    @jax.jit
+    def predictor_step(x, y1, t, dt, key):
+        score = score_fn(x, y1, t)
+        rev_f, rev_G = sde.reverse_discretize(score, x, y1, t, dt)
+        z = crandn(key, x.shape)
+        x_mean = x - rev_f
+        return x_mean + rev_G[:, None, None, None] * z, x_mean
+
+    def reference_style_enhance(y1, key):
+        timesteps = np.linspace(sde.T, model.t_eps, n_steps)
+        key, kp = jax.random.split(key)
+        xt = sde.prior_sampling(kp, y1)
+        for i in range(n_steps):
+            t = jnp.full((y1.shape[0],), timesteps[i], jnp.float32)
+            dt = jnp.float32(timesteps[i] - timesteps[i + 1]) if i < n_steps - 1 \
+                else jnp.float32(timesteps[-1])
+            key, kc, kpred = jax.random.split(key, 3)
+            xt = corrector_step(xt, y1, t, kc)
+            xt, xt_mean = predictor_step(xt, y1, t, dt, kpred)
+            np.asarray(xt[0, 0, 0, 0])  # host sync each step (torch-loop behavior)
+        return xt_mean
+
+    # warmup
+    reference_style_enhance(y[:1], jax.random.key(10))
+    t0 = time.time()
+    for b in range(batch):
+        reference_style_enhance(y[b:b + 1], jax.random.key(20 + b))
+    base_wall = time.time() - t0
+    base_value = batch * audio_sec_per_utt / base_wall
+
+    result = {
+        "metric": "enhancement_throughput_pc_n30",
+        "value": round(ours_value, 3),
+        "unit": "audio_sec_per_wall_sec",
+        "vs_baseline": round(ours_value / base_value, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Enhancement CLI: load a checkpoint, enhance every wav in a test dir.
+
+Capability parity with /root/reference/enhancement.py:19-103 — same flags, same
+backbone-name -> (sample rate, pad mode) dispatch (lines 45-54), same sampler
+dispatch on SDE type (lines 79-91), same per-utterance normalization — plus a
+TPU-first throughput extension: ``--batch_size`` groups utterances into
+equal-padded-length buckets and enhances them batched in one jitted program
+(the reference processes one file per sampler launch).
+"""
+import argparse
+import sys
+from glob import glob
+from os import makedirs
+from os.path import dirname, join
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--test_dir", type=str, required=True,
+                        help="Directory containing the test data")
+    parser.add_argument("--enhanced_dir", type=str, required=True,
+                        help="Directory to write the enhanced data")
+    parser.add_argument("--ckpt", type=str, required=True, help="Path to model checkpoint")
+    parser.add_argument("--sampler_type", type=str, default="pc",
+                        help="Sampler type for the PC sampler.")
+    parser.add_argument("--corrector", type=str, choices=("ald", "langevin", "none"),
+                        default="ald", help="Corrector class for the PC sampler.")
+    parser.add_argument("--corrector_steps", type=int, default=1,
+                        help="Number of corrector steps")
+    parser.add_argument("--snr", type=float, default=0.5,
+                        help="SNR value for (annealed) Langevin dynamics")
+    parser.add_argument("--N", type=int, default=30, help="Number of reverse steps")
+    parser.add_argument("--t_eps", type=float, default=0.03,
+                        help="The minimum process time (0.03 by default)")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="Utterances enhanced per device program (bucketed by length)")
+    parser.add_argument("--seed", type=int, default=0, help="Sampling RNG seed")
+    parser.add_argument("--timeit", action="store_true",
+                        help="Print total RTF over the run")
+    args = parser.parse_args()
+
+    import time
+
+    import jax
+
+    from sgmse_tpu.checkpoint import load_score_model
+    from sgmse_tpu.data.wav import read_wav, resample, write_wav
+    from sgmse_tpu.dsp import pad_spec
+
+    model, variables = load_score_model(args.ckpt)
+    model.t_eps = args.t_eps
+
+    noisy_files = []
+    noisy_files += sorted(glob(join(args.test_dir, "*.wav")))
+    noisy_files += sorted(glob(join(args.test_dir, "**", "*.wav")))
+    noisy_files += sorted(glob(join(args.test_dir, "*.flac")))
+    noisy_files += sorted(glob(join(args.test_dir, "**", "*.flac")))
+
+    # Backbone-name dispatch (reference enhancement.py:45-54).
+    if model.backbone == "ncsnpp_48k":
+        target_sr, pad_mode = 48000, "reflection"
+    elif model.backbone == "ncsnpp_v2":
+        target_sr, pad_mode = 16000, "reflection"
+    else:
+        target_sr, pad_mode = 16000, "zero_pad"
+
+    sampler_kwargs = dict(N=args.N, corrector=args.corrector,
+                          corrector_steps=args.corrector_steps, snr=args.snr,
+                          pad_mode=pad_mode)
+    if model.sde_name == "ouve":
+        import dataclasses
+        model.sde = dataclasses.replace(model.sde, sampler_type=args.sampler_type)
+    elif model.sde_name == "sbve":
+        # pc silently maps to ode for SB models (reference enhancement.py:88).
+        st = "ode" if args.sampler_type == "pc" else args.sampler_type
+        import dataclasses
+        model.sde = dataclasses.replace(model.sde, sampler_type=st)
+
+    key = jax.random.key(args.seed)
+
+    # Load all files, bucket by padded spectrogram length for batching.
+    items = []
+    for noisy_file in noisy_files:
+        filename = noisy_file.replace(args.test_dir, "")
+        filename = filename[1:] if filename.startswith("/") else filename
+        if noisy_file.endswith(".flac"):
+            try:
+                import soundfile as sf
+                y, sr = sf.read(noisy_file, dtype="float32")
+                y = y.T if y.ndim > 1 else y[None]
+            except ImportError:
+                print(f"skipping {filename}: flac requires the soundfile package",
+                      file=sys.stderr)
+                continue
+        else:
+            y, sr = read_wav(noisy_file)
+        y = y[0]
+        if sr != target_sr:
+            y = resample(y, sr, target_sr)
+        items.append((filename, y))
+
+    total_audio_s, t0 = 0.0, time.time()
+    if args.batch_size <= 1:
+        for filename, y in items:
+            key, sub = jax.random.split(key)
+            x_hat = model.enhance(variables, y, key=sub, **sampler_kwargs)
+            out = join(args.enhanced_dir, filename)
+            makedirs(dirname(out), exist_ok=True)
+            write_wav(out, x_hat, target_sr)
+            total_audio_s += len(y) / target_sr
+            print(filename)
+    else:
+        # Bucket utterances whose padded frame count matches; pad waveforms within
+        # a bucket to the longest and enhance batched.
+        hop = model.spec.hop_length
+        buckets = {}
+        for filename, y in items:
+            frames = 1 + len(y) // hop
+            padded_frames = -(-frames // 64) * 64
+            buckets.setdefault(padded_frames, []).append((filename, y))
+        for padded_frames, group in sorted(buckets.items()):
+            for i in range(0, len(group), args.batch_size):
+                chunk = group[i:i + args.batch_size]
+                maxlen = max(len(y) for _, y in chunk)
+                yb = np.stack([np.pad(y, (0, maxlen - len(y))) for _, y in chunk])
+                key, sub = jax.random.split(key)
+                x_hat = model.enhance(variables, yb, key=sub, **sampler_kwargs)
+                for (filename, y), xh in zip(chunk, x_hat):
+                    out = join(args.enhanced_dir, filename)
+                    makedirs(dirname(out), exist_ok=True)
+                    write_wav(out, xh[: len(y)], target_sr)
+                    total_audio_s += len(y) / target_sr
+                    print(filename)
+
+    if args.timeit and total_audio_s > 0:
+        wall = time.time() - t0
+        print(f"RTF: {wall / total_audio_s:.4f} (wall {wall:.1f}s / audio {total_audio_s:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

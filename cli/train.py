@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Training CLI with registry-driven dynamic flags.
+
+Capability parity with /root/reference/train.py:30-110: a throwaway parser
+reads --backbone/--sde, then each selected class (plus ScoreModel, Trainer and
+the DataModule) contributes its own argparse group; groups are split back into
+kwargs and fed to the model (dynamic flag composition, the reference's genuine
+CLI capability). Checkpoint callbacks: last / every --save_ckpt_interval steps
+/ best-PESQ / best-SI-SDR (reference train.py:88-97).
+"""
+import argparse
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def get_argparse_groups(parser, args):
+    groups = {}
+    for group in parser._action_groups:
+        group_dict = {a.dest: getattr(args, a.dest, None) for a in group._group_actions}
+        groups[group.title] = argparse.Namespace(**group_dict)
+    return groups
+
+
+def main():
+    from sgmse_tpu.data.dataset import SpecsDataModule
+    from sgmse_tpu.model import ScoreModel
+    from sgmse_tpu.models import BackboneRegistry
+    from sgmse_tpu.sdes import SDERegistry
+    from sgmse_tpu.train import Trainer
+    from sgmse_tpu.utils.loggers import make_logger
+
+    # Throwaway parser for dynamic args (reference train.py:31-43).
+    base_parser = ArgumentParser(add_help=False)
+    parser = ArgumentParser()
+    for parser_ in (base_parser, parser):
+        parser_.add_argument("--backbone", type=str,
+                             choices=BackboneRegistry.get_all_names(), default="ncsnpp")
+        parser_.add_argument("--sde", type=str,
+                             choices=SDERegistry.get_all_names(), default="ouve")
+        parser_.add_argument("--nolog", action="store_true", help="Turn off logging.")
+        parser_.add_argument("--wandb_name", type=str, default=None,
+                             help="Name for wandb logger. If not set, a random name is generated.")
+        parser_.add_argument("--ckpt", type=str, default=None,
+                             help="Resume training from checkpoint.")
+        parser_.add_argument("--log_dir", type=str, default="logs",
+                             help="Directory to save logs.")
+        parser_.add_argument("--save_ckpt_interval", type=int, default=50000,
+                             help="Save checkpoint interval.")
+    temp_args, _ = base_parser.parse_known_args()
+
+    backbone_cls = BackboneRegistry.get_by_name(temp_args.backbone)
+    sde_class = SDERegistry.get_by_name(temp_args.sde)
+
+    trainer_parser = parser.add_argument_group("Trainer", description="Trainer")
+    trainer_parser.add_argument("--devices", default="auto",
+                                help="How many devices to use ('auto' = all).")
+    trainer_parser.add_argument("--accumulate_grad_batches", type=int, default=1,
+                                help="Accumulate gradients.")
+    trainer_parser.add_argument("--max_epochs", type=int, default=-1,
+                                help="Number of epochs to train.")
+    trainer_parser.add_argument("--max_steps", type=int, default=-1,
+                                help="Number of steps to train (-1 = unlimited).")
+
+    ScoreModel.add_argparse_args(
+        parser.add_argument_group("ScoreModel", description=ScoreModel.__name__))
+    sde_class.add_argparse_args(
+        parser.add_argument_group("SDE", description=sde_class.__name__))
+    backbone_cls.add_argparse_args(
+        parser.add_argument_group("Backbone", description=backbone_cls.__name__))
+    SpecsDataModule.add_argparse_args(
+        parser.add_argument_group("DataModule", description=SpecsDataModule.__name__))
+
+    args = parser.parse_args()
+    arg_groups = get_argparse_groups(parser, args)
+
+    model = ScoreModel(
+        backbone=args.backbone, sde=args.sde,
+        **{
+            **vars(arg_groups["ScoreModel"]),
+            **vars(arg_groups["SDE"]),
+            **vars(arg_groups["Backbone"]),
+            **vars(arg_groups["DataModule"]),
+        },
+    )
+    data_module = SpecsDataModule(**vars(arg_groups["DataModule"]))
+    logger = make_logger(args.nolog, args.log_dir, args.wandb_name)
+    num_devices = None if args.devices == "auto" else int(args.devices)
+    trainer = Trainer(
+        model, data_module, logger, log_dir=args.log_dir,
+        max_epochs=args.max_epochs, max_steps=args.max_steps,
+        accumulate_grad_batches=args.accumulate_grad_batches,
+        save_ckpt_interval=args.save_ckpt_interval,
+        num_devices=num_devices,
+    )
+    trainer.fit(ckpt_path=args.ckpt)
+
+
+if __name__ == "__main__":
+    main()

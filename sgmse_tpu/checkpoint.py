@@ -1,0 +1,108 @@
+"""Checkpointing: Orbax-backed save/load with embedded hyperparameters, plus the
+reference's four checkpoint policies.
+
+Capability parity with reference C34 (train.py:88-97, model.py:87/100-109,
+enhancement.py:34):
+- hparams are embedded in every checkpoint (config.json sidecar), so
+  ``load_score_model(path)`` reconstructs backbone + SDE + DSP with no external
+  config — the analogue of ``ScoreModel.load_from_checkpoint``.
+- EMA parameters are first-class state (saved alongside train params and used
+  for eval, reference model.py:100-125).
+- Policies: save_last, every-N-steps keep-all, best-PESQ, best-SI-SDR
+  (reference train.py:88-97).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_saveable(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def save_checkpoint(path: os.PathLike, state_tree: Dict[str, Any],
+                    config: Dict[str, Any]) -> None:
+    """Save a state pytree + config dict to `path` (a directory)."""
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path), _to_saveable(state_tree))
+    ckptr.wait_until_finished()
+    with open(path / "config.json", "w") as f:
+        json.dump(config, f, indent=2, default=str)
+
+
+def load_checkpoint(path: os.PathLike, target: Optional[Any] = None
+                    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load (state_tree, config) from a checkpoint directory."""
+    path = Path(path).absolute()
+    with open(path / "config.json") as f:
+        config = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        state = ckptr.restore(str(path), target)
+    else:
+        state = ckptr.restore(str(path))
+    return state, config
+
+
+def load_score_model(path: os.PathLike):
+    """Rebuild a ScoreModel + its EMA variables from an embedded-config checkpoint.
+
+    Analogue of ``ScoreModel.load_from_checkpoint`` (reference enhancement.py:34):
+    returns ``(model, variables)`` where variables holds the EMA weights (the
+    reference swaps EMA weights in for eval, model.py:111-125).
+    """
+    from .model import ScoreModel  # local import to avoid cycle
+
+    state, config = load_checkpoint(path)
+    model = ScoreModel.from_config(config)
+    params = state.get("ema_params")
+    if params is None:
+        params = state["params"]
+    variables = {"params": params}
+    variables.update(state.get("model_state", {}))
+    return model, variables
+
+
+class CheckpointPolicies:
+    """The reference's four checkpoint callbacks as one policy object.
+
+    - 'last'        : overwritten at every validation epoch (save_last)
+    - 'step_<n>'    : kept forever, every `save_ckpt_interval` steps
+    - 'best_pesq'   : overwritten when the monitored PESQ improves (mode max)
+    - 'best_si_sdr' : overwritten when the monitored SI-SDR improves (mode max)
+    """
+
+    def __init__(self, log_dir: os.PathLike, save_ckpt_interval: int = 50000,
+                 monitor_metrics: bool = True):
+        self.log_dir = Path(log_dir)
+        self.save_ckpt_interval = save_ckpt_interval
+        self.monitor_metrics = monitor_metrics
+        self.best = {"pesq": -np.inf, "si_sdr": -np.inf}
+        self._last_interval_step = 0
+
+    def on_train_step(self, step: int, state_tree, config) -> None:
+        if self.save_ckpt_interval and step > 0 and step % self.save_ckpt_interval == 0:
+            save_checkpoint(self.log_dir / f"step_{step}", state_tree, config)
+
+    def on_validation(self, step: int, state_tree, config,
+                      metrics: Dict[str, float]) -> None:
+        save_checkpoint(self.log_dir / "last", state_tree, config)
+        if not self.monitor_metrics:
+            return
+        for name, key in (("pesq", "pesq"), ("si_sdr", "si_sdr")):
+            value = metrics.get(key)
+            if value is not None and np.isfinite(value) and value > self.best[name]:
+                self.best[name] = value
+                save_checkpoint(self.log_dir / f"best_{name}", state_tree, config)

@@ -133,9 +133,18 @@ class ScoreModel:
     def init_params(self, key, num_freqs: Optional[int] = None, num_frames: int = 64,
                     batch: int = 1):
         f = num_freqs if num_freqs is not None else self.spec.num_freqs
-        # Pad F to the backbone's expected power-of-two-ish grid (256 bins default).
         x = jnp.zeros((batch, 1, f, num_frames), dtype=jnp.complex64)
         t = jnp.ones((batch,), dtype=jnp.float32) * 0.5
+        # Initialize on the CPU backend when available: parameter init is a
+        # one-shot throwaway compile, and remote-compiling it on TPU costs
+        # minutes for a 65M-param net. The arrays migrate to TPU on first use.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                return self.dnn.init(key, x, x, t)
         return self.dnn.init(key, x, x, t)
 
     # --- preconditioning scalings (reference model.py:312-341) -----------------------
@@ -169,8 +178,26 @@ class ScoreModel:
 
     # --- forward contracts (reference model.py:264-341) ------------------------------
     def forward(self, variables, x_t, y, t, train: bool = False, rngs=None):
-        apply = lambda xi, yi: self.dnn.apply(variables, xi, yi, t, train=train,
-                                              rngs=rngs)
+        out, _ = self.forward_with_updates(variables, x_t, y, t, train=train, rngs=rngs,
+                                           mutable=False)
+        return out
+
+    def forward_with_updates(self, variables, x_t, y, t, train: bool = False,
+                             rngs=None, mutable: bool = True):
+        """Forward pass that also returns mutable-collection updates (e.g. the
+        BatchNorm running stats of DCUNet). Returns (output, updates_dict)."""
+        mutable_cols = (["batch_stats"]
+                        if (mutable and train and "batch_stats" in variables) else False)
+        updates = {}
+
+        def apply(xi, yi):
+            nonlocal updates
+            res = self.dnn.apply(variables, xi, yi, t, train=train, rngs=rngs,
+                                 mutable=mutable_cols)
+            if mutable_cols:
+                out, updates = res
+                return out
+            return res
         if self.backbone == "ncsnpp_v2":
             c_in = self._c_in(t)
             F = apply(c_in * x_t, c_in * y)
@@ -179,16 +206,18 @@ class ScoreModel:
             elif self.network_scaling == "1/t":
                 F = F / _bcast(t)
             if self.loss_type == "score_matching":
-                return self._c_skip(t) * x_t + self._c_out(t) * F
+                out = self._c_skip(t) * x_t + self._c_out(t) * F
             elif self.loss_type == "denoiser":
                 sigmas = _bcast(self.sde._std(t))
-                return (F - x_t) / sigmas**2
+                out = (F - x_t) / sigmas**2
             elif self.loss_type == "data_prediction":
-                return self._c_skip(t) * x_t + self._c_out(t) * F
-            raise ValueError(f"Invalid loss type: {self.loss_type}")
+                out = self._c_skip(t) * x_t + self._c_out(t) * F
+            else:
+                raise ValueError(f"Invalid loss type: {self.loss_type}")
         else:
             # Legacy contract: score = -dnn(x_t, y, t) (reference model.py:306-310).
-            return -apply(x_t, y)
+            out = -apply(x_t, y)
+        return out, updates
 
     def score_fn(self, variables) -> Callable:
         """Bind parameters: returns score_fn(x, y, t) for the samplers."""
@@ -248,6 +277,13 @@ class ScoreModel:
 
     def step_loss(self, variables, batch, key, train: bool = True):
         """One training/validation loss evaluation (reference model.py:189-198)."""
+        loss, _ = self.step_loss_with_updates(variables, batch, key, train=train,
+                                              mutable=False)
+        return loss
+
+    def step_loss_with_updates(self, variables, batch, key, train: bool = True,
+                               mutable: bool = True):
+        """Like step_loss, also returning mutable-collection updates (batch_stats)."""
         x, y = batch
         kt, kz, kd = jax.random.split(key, 3)
         b = x.shape[0]
@@ -256,8 +292,9 @@ class ScoreModel:
         z = crandn(kz, x.shape)
         x_t = mean + _bcast(std) * z
         rngs = {"dropout": kd} if train else None
-        forward_out = self.forward(variables, x_t, y, t, train=train, rngs=rngs)
-        return self._loss(forward_out, x_t, z, t, mean, x)
+        forward_out, updates = self.forward_with_updates(
+            variables, x_t, y, t, train=train, rngs=rngs, mutable=mutable)
+        return self._loss(forward_out, x_t, z, t, mean, x), updates
 
     # --- DSP passthroughs (reference model.py:411-424) -------------------------------
     def to_audio(self, spec, length: Optional[int] = None):

@@ -1,0 +1,249 @@
+"""Training loop: optax Adam + EMA pytree, SPMD data parallelism over a JAX
+mesh, device-side STFT, validation with checkpoint policies.
+
+Capability parity with the reference's Lightning training orchestration
+(reference train.py:102-110, model.py:90-125, 189-262), TPU-first design:
+
+- The train step is ONE jitted XLA program: batched STFT + compression
+  transform (moved from CPU dataloader workers onto the device, where they
+  fuse with the network), diffusion-time sampling, forward, loss, grads,
+  Adam update, EMA update. No host round-trips inside the step.
+- Data parallelism: batch sharded over a 1-D 'data' mesh, params replicated;
+  XLA inserts the gradient all-reduce over ICI (replaces DDP/NCCL, C33).
+- EMA matches torch_ema semantics incl. the num_updates decay ramp
+  min(decay, (1+n)/(10+n)) (the reference constructs
+  ExponentialMovingAverage(..., decay=0.999) with use_num_updates=True).
+- Gradient accumulation via optax.MultiSteps (--accumulate_grad_batches).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .checkpoint import CheckpointPolicies, load_checkpoint, save_checkpoint
+from .model import ScoreModel
+from .parallel.mesh import (data_sharding, make_data_mesh, replicate,
+                            replicated, shard_batch)
+from .utils.inference import evaluate_model, select_eval_files, shard_eval_files
+from .utils.loggers import Logger
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    num_updates: jnp.ndarray  # for the torch_ema decay ramp
+    model_state: Any = struct.field(default_factory=dict)  # e.g. DCUNet batch_stats
+
+
+def create_train_state(model: ScoreModel, key, accumulate_grad_batches: int = 1
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = optax.adam(model.lr)
+    if accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
+    variables = model.init_params(key)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=tx.init(params),
+        num_updates=jnp.zeros((), jnp.int32),
+        model_state=model_state,
+    )
+    return state, tx
+
+
+def ema_update(ema_params, params, decay: float, num_updates):
+    """torch_ema update rule with use_num_updates ramp (torch_ema semantics:
+    decay_t = min(decay, (1+n)/(10+n)); ema <- ema - (1-decay_t)(ema - param))."""
+    n = num_updates.astype(jnp.float32)
+    decay_t = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
+    return jax.tree.map(lambda e, p: e - (1.0 - decay_t) * (e - p), ema_params, params)
+
+
+def make_train_step(model: ScoreModel, tx: optax.GradientTransformation):
+    """Build the jitted train step: (state, x_wav, y_wav, key) -> (state, loss)."""
+    spec = model.spec
+
+    def step_fn(state: TrainState, x_wav, y_wav, key):
+        X = spec.wav_to_spec(x_wav)[:, None]  # (B, 1, F, T), on device
+        Y = spec.wav_to_spec(y_wav)[:, None]
+
+        def loss_fn(params):
+            variables = {"params": params, **state.model_state}
+            loss, mstate_updates = model.step_loss_with_updates(
+                variables, (X, Y), key, train=True)
+            return loss, mstate_updates
+
+        (loss, mstate_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        num_updates = state.num_updates + 1
+        ema_params = ema_update(state.ema_params, params, model.ema_decay, num_updates)
+        model_state = mstate_updates if mstate_updates else state.model_state
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  ema_params=ema_params, opt_state=opt_state,
+                                  num_updates=num_updates, model_state=model_state)
+        return new_state, loss
+
+    return step_fn
+
+
+def make_valid_step(model: ScoreModel):
+    spec = model.spec
+
+    @jax.jit
+    def valid_fn(params, model_state, x_wav, y_wav, key):
+        X = spec.wav_to_spec(x_wav)[:, None]
+        Y = spec.wav_to_spec(y_wav)[:, None]
+        variables = {"params": params, **model_state}
+        return model.step_loss(variables, (X, Y), key, train=False)
+
+    return valid_fn
+
+
+class Trainer:
+    """Training orchestrator (replaces pl.Trainer + Lightning callbacks).
+
+    Runs the jitted data-parallel train step over the mesh, periodic
+    validation with functional speech-enhancement eval (PESQ/SI-SDR/ESTOI on
+    `num_eval_files` files, sharded across hosts), logging every
+    `log_every_n_steps`, and the four checkpoint policies.
+    """
+
+    def __init__(self, model: ScoreModel, data_module, logger: Logger,
+                 log_dir: str = "logs", max_epochs: int = -1,
+                 max_steps: int = -1, accumulate_grad_batches: int = 1,
+                 save_ckpt_interval: int = 50000, log_every_n_steps: int = 10,
+                 num_devices: Optional[int] = None, seed: int = 0):
+        self.model = model
+        self.data_module = data_module
+        self.logger = logger
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.accumulate_grad_batches = accumulate_grad_batches
+        self.log_every_n_steps = log_every_n_steps
+        self.seed = seed
+
+        self.mesh = make_data_mesh(num_devices)
+        ckpt_dir = Path(log_dir) / str(logger.version)
+        self.policies = CheckpointPolicies(ckpt_dir, save_ckpt_interval,
+                                           monitor_metrics=model.num_eval_files > 0)
+
+    def _state_tree(self, state: TrainState) -> Dict[str, Any]:
+        tree = {
+            "step": state.step,
+            "params": state.params,
+            "ema_params": state.ema_params,
+            "num_updates": state.num_updates,
+        }
+        if state.model_state:
+            tree["model_state"] = state.model_state
+        return tree
+
+    def fit(self, ckpt_path: Optional[str] = None) -> TrainState:
+        model = self.model
+        key = jax.random.key(self.seed)
+        key, init_key = jax.random.split(key)
+        state, tx = create_train_state(model, init_key, self.accumulate_grad_batches)
+
+        if ckpt_path is not None:
+            restored, _ = load_checkpoint(ckpt_path, target=self._state_tree(state))
+            state = state.replace(step=jnp.asarray(restored["step"]),
+                                  params=restored["params"],
+                                  ema_params=restored["ema_params"],
+                                  num_updates=jnp.asarray(restored["num_updates"]),
+                                  model_state=restored.get("model_state",
+                                                           state.model_state))
+
+        self.data_module.setup("fit")
+        train_loader = self.data_module.train_dataloader()
+        valid_loader = self.data_module.val_dataloader()
+
+        batch_shard = data_sharding(self.mesh)
+        repl = replicated(self.mesh)
+        train_step = jax.jit(
+            make_train_step(model, tx),
+            in_shardings=(repl, batch_shard, batch_shard, repl),
+            out_shardings=(repl, repl),
+        )
+        valid_step = make_valid_step(model)
+        state = replicate(self.mesh, state)
+        config = model.config_dict()
+        self.logger.log_hparams(config)
+
+        epoch = 0
+        running_loss, running_count = 0.0, 0
+        t_start = time.time()
+        done = False
+        while not done:
+            if self.max_epochs >= 0 and epoch >= self.max_epochs:
+                break
+            for x_wav, y_wav in train_loader:
+                key, sub = jax.random.split(key)
+                x_dev, y_dev = shard_batch(self.mesh, (x_wav, y_wav))
+                state, loss = train_step(state, x_dev, y_dev, sub)
+                step = int(state.step)
+                running_loss += float(loss)
+                running_count += 1
+                if step % self.log_every_n_steps == 0:
+                    avg = running_loss / max(running_count, 1)
+                    rate = running_count * x_wav.shape[0] / (time.time() - t_start)
+                    self.logger.log_metrics(
+                        {"train_loss": avg, "samples_per_sec": rate}, step)
+                    running_loss, running_count = 0.0, 0
+                    t_start = time.time()
+                self.policies.on_train_step(step, self._state_tree(state), config)
+                if self.max_steps >= 0 and step >= self.max_steps:
+                    done = True
+                    break
+
+            if not done:
+                epoch += 1
+            metrics = self.validate(state, valid_step, valid_loader, key)
+            self.logger.log_metrics(metrics, int(state.step))
+            self.policies.on_validation(int(state.step), self._state_tree(state),
+                                        config, metrics)
+        return state
+
+    def validate(self, state: TrainState, valid_step, valid_loader, key
+                 ) -> Dict[str, float]:
+        model = self.model
+        # 1. validation loss over the valid split (uses EMA weights, matching the
+        #    reference's eval-mode EMA swap, model.py:111-125).
+        losses = []
+        for x_wav, y_wav in valid_loader:
+            key, sub = jax.random.split(key)
+            losses.append(float(valid_step(state.ema_params, state.model_state,
+                                           jnp.asarray(x_wav), jnp.asarray(y_wav), sub)))
+        metrics: Dict[str, float] = {"valid_loss": float(np.mean(losses)) if losses else float("nan")}
+
+        # 2. functional speech-enhancement eval on num_eval_files, host-sharded
+        #    (reference model.py:205-257).
+        if model.num_eval_files > 0 and self.data_module.valid_set is not None \
+                and len(self.data_module.valid_set.clean_files) > 0:
+            clean, noisy = select_eval_files(
+                self.data_module.valid_set.clean_files,
+                self.data_module.valid_set.noisy_files, model.num_eval_files)
+            clean = shard_eval_files(clean)
+            noisy = shard_eval_files(noisy)
+            key, sub = jax.random.split(key)
+            ema_vars = {"params": state.ema_params, **state.model_state}
+            eval_metrics = evaluate_model(model, ema_vars, clean, noisy,
+                                          num_eval_files=len(clean), key=sub,
+                                          N=model.sde.N)
+            metrics.update(eval_metrics)
+        return metrics

@@ -1,0 +1,76 @@
+"""In-training evaluation helper: enhance validation files and compute metrics.
+
+Capability parity with /root/reference/sgmse/util/inference.py:16-63
+(evaluate_model): uniform file subsampling over the validation set, per-file
+PC-sampler enhancement (N=30, snr=0.5, 1 corrector step), mean PESQ / SI-SDR /
+ESTOI. PESQ is gated (NaN when the C library is absent, see utils/metrics.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..data.wav import read_wav, resample
+from .metrics import pesq_wb, si_sdr, stoi
+
+# Reference settings (util/inference.py:10-13)
+EVAL_SR = 16000
+EVAL_SNR = 0.5
+EVAL_N = 30
+EVAL_CORRECTOR_STEPS = 1
+
+
+def select_eval_files(clean_files: Sequence[str], noisy_files: Sequence[str],
+                      num_eval_files: int) -> Tuple[list, list]:
+    """Uniform subsampling across the validation set (reference inference.py:21-25)."""
+    total = len(clean_files)
+    indices = np.linspace(0, total - 1, num_eval_files).astype(int)
+    return [clean_files[i] for i in indices], [noisy_files[i] for i in indices]
+
+
+def shard_eval_files(files: list, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> list:
+    """Split eval files across hosts; last host takes the remainder
+    (parity with reference model.py:208-223 rank sharding)."""
+    rank = jax.process_index() if process_index is None else process_index
+    world = jax.process_count() if process_count is None else process_count
+    per = len(files) // world
+    if rank == world - 1:
+        return files[rank * per:]
+    return files[rank * per:(rank + 1) * per]
+
+
+def evaluate_model(model, variables, clean_files: Sequence[str],
+                   noisy_files: Sequence[str], num_eval_files: int,
+                   key=None, N: int = EVAL_N, snr: float = EVAL_SNR,
+                   corrector_steps: int = EVAL_CORRECTOR_STEPS,
+                   sr: Optional[int] = None) -> Dict[str, float]:
+    """Enhance `num_eval_files` files and return mean pesq/si_sdr/estoi."""
+    if key is None:
+        key = jax.random.key(0)
+    sr = sr if sr is not None else model.sr
+    clean_sel, noisy_sel = select_eval_files(clean_files, noisy_files, num_eval_files)
+
+    pesq_sum, si_sdr_sum, estoi_sum, count = 0.0, 0.0, 0.0, 0
+    for clean_file, noisy_file in zip(clean_sel, noisy_sel):
+        x, sr_x = read_wav(clean_file)
+        y, sr_y = read_wav(noisy_file)
+        assert sr_x == sr_y, "Sample rates of clean and noisy files do not match!"
+        x, y = x[0], y[0]
+        key, sub = jax.random.split(key)
+        x_hat = model.enhance(variables, y, key=sub, N=N, snr=snr,
+                              corrector_steps=corrector_steps)
+        x_16k = resample(x, sr_x, 16000) if sr_x != 16000 else x
+        x_hat_16k = resample(x_hat, sr, 16000) if sr != 16000 else x_hat
+
+        pesq_sum += pesq_wb(16000, x_16k, x_hat_16k, "wb")
+        si_sdr_sum += si_sdr(x, x_hat)
+        estoi_sum += stoi(x, x_hat, sr_x, extended=True)
+        count += 1
+
+    if count == 0:
+        return {"pesq": float("nan"), "si_sdr": float("nan"), "estoi": float("nan")}
+    return {"pesq": pesq_sum / count, "si_sdr": si_sdr_sum / count,
+            "estoi": estoi_sum / count}

@@ -1,0 +1,161 @@
+"""Data pipeline + training-loop tests on a synthetic mini-dataset, with the
+batch sharded over a multi-device CPU mesh (the JAX-native DDP test)."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgmse_tpu.data.dataset import Specs, SpecsDataModule, WavLoader
+from sgmse_tpu.data.wav import read_wav, resample, write_wav
+from sgmse_tpu.model import ScoreModel
+from sgmse_tpu.train import Trainer, create_train_state, make_train_step
+from sgmse_tpu.utils.loggers import CSVLogger
+from sgmse_tpu.checkpoint import load_checkpoint, load_score_model, save_checkpoint
+
+TINY = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=1, attn_resolutions=(16,),
+            image_size=64, n_fft=126, hop_length=32, num_frames=64,
+            num_eval_files=0)
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def wav_dataset(tmp_path_factory):
+    """8 clean/noisy pairs in the reference directory layout."""
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    for subset in ("train", "valid"):
+        for kind in ("clean", "noisy"):
+            (root / subset / kind).mkdir(parents=True)
+        for i in range(8):
+            t = np.arange(4000) / SR
+            clean = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t).astype(np.float32)
+            noise = 0.1 * rng.standard_normal(4000).astype(np.float32)
+            write_wav(root / subset / "clean" / f"utt{i}.wav", clean, SR)
+            write_wav(root / subset / "noisy" / f"utt{i}.wav", clean + noise, SR)
+    return root
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (np.random.default_rng(0).standard_normal(1000) * 0.3).astype(np.float32)
+    write_wav(tmp_path / "a.wav", x, SR)
+    x2, sr = read_wav(tmp_path / "a.wav")
+    assert sr == SR
+    # write_wav clips to [-1, 1] (16-bit PCM full scale)
+    np.testing.assert_allclose(x2[0], np.clip(x, -1.0, 1.0), atol=1.5 / 32768)
+
+
+def test_resample_length():
+    x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    y = resample(x, 16000, 48000)
+    assert y.shape[-1] == 48000
+    z = resample(y, 48000, 16000)
+    assert z.shape[-1] == 16000
+
+
+def test_specs_dataset(wav_dataset):
+    ds = Specs(str(wav_dataset), "train", dummy=False, shuffle_spec=True,
+               num_frames=64, hop_length=32)
+    assert len(ds) == 8
+    x, y = ds.load_pair(0, np.random.default_rng(0))
+    assert x.shape == (63 * 32,)
+    assert y.shape == (63 * 32,)
+    # noisy-max normalization
+    assert abs(np.max(np.abs(y)) - 1.0) < 1e-5
+
+
+def test_wav_loader_shapes(wav_dataset):
+    ds = Specs(str(wav_dataset), "train", dummy=False, shuffle_spec=True,
+               num_frames=64, hop_length=32)
+    loader = WavLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    for x, y in batches:
+        assert x.shape == (4, 63 * 32)
+        assert y.dtype == np.float32
+
+
+def test_train_step_multidevice(wav_dataset):
+    """Data-parallel train step over all 8 virtual devices."""
+    assert jax.device_count() == 8
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    state, tx = create_train_state(model, jax.random.key(0))
+    from sgmse_tpu.parallel.mesh import make_data_mesh, data_sharding, replicated, shard_batch, replicate
+    mesh = make_data_mesh()
+    step = jax.jit(make_train_step(model, tx),
+                   in_shardings=(replicated(mesh), data_sharding(mesh),
+                                 data_sharding(mesh), replicated(mesh)),
+                   out_shardings=(replicated(mesh), replicated(mesh)))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 63 * 32)).astype(np.float32) * 0.1
+    y = x + rng.standard_normal((8, 63 * 32)).astype(np.float32) * 0.02
+    state = replicate(mesh, state)
+    xd, yd = shard_batch(mesh, (x, y))
+    state2, loss = step(state, xd, yd, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    # params actually changed
+    d = jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                                     state.params, state2.params))
+    assert max(d) > 0
+
+
+def test_sharded_equals_single_device(wav_dataset):
+    """The data-parallel step must produce the same loss/update as 1 device."""
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    state, tx = create_train_state(model, jax.random.key(0))
+    step_plain = jax.jit(make_train_step(model, tx))
+    from sgmse_tpu.parallel.mesh import make_data_mesh, data_sharding, replicated, shard_batch, replicate
+    mesh = make_data_mesh()
+    step_shard = jax.jit(make_train_step(model, tx),
+                         in_shardings=(replicated(mesh), data_sharding(mesh),
+                                       data_sharding(mesh), replicated(mesh)),
+                         out_shardings=(replicated(mesh), replicated(mesh)))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 63 * 32)).astype(np.float32) * 0.1
+    y = x.copy()
+    k = jax.random.key(1)
+    _, loss_plain = step_plain(state, jnp.asarray(x), jnp.asarray(y), k)
+    xd, yd = shard_batch(mesh, (x, y))
+    _, loss_shard = step_shard(replicate(mesh, state), xd, yd, k)
+    np.testing.assert_allclose(float(loss_plain), float(loss_shard), rtol=1e-4)
+
+
+def test_trainer_fit_and_resume(wav_dataset, tmp_path):
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    dm = SpecsDataModule(base_dir=str(wav_dataset), batch_size=4, n_fft=126,
+                         hop_length=32, num_frames=64, num_workers=2)
+    logger = CSVLogger(tmp_path / "logs")
+    trainer = Trainer(model, dm, logger, log_dir=str(tmp_path / "logs"),
+                      max_steps=2, num_devices=4, log_every_n_steps=1)
+    state = trainer.fit()
+    assert int(state.step) == 2
+    ckpt = tmp_path / "logs" / logger.version / "last"
+    assert ckpt.exists()
+
+    # resume
+    trainer2 = Trainer(model, dm, CSVLogger(tmp_path / "logs"),
+                       log_dir=str(tmp_path / "logs"), max_steps=4,
+                       num_devices=4, log_every_n_steps=1)
+    state2 = trainer2.fit(ckpt_path=str(ckpt))
+    assert int(state2.step) == 4
+
+    # load_score_model round-trip
+    model2, variables = load_score_model(ckpt)
+    assert model2.backbone == "ncsnpp"
+    assert model2.spec.n_fft == 126
+    out = model2.enhance(variables, np.zeros(2000, np.float32) + 0.01,
+                         key=jax.random.key(0), N=2)
+    assert out.shape == (2000,)
+
+
+def test_ema_ramp():
+    from sgmse_tpu.train import ema_update
+    p = {"w": jnp.ones(3)}
+    e = {"w": jnp.zeros(3)}
+    # first update: decay_t = min(0.999, 1/10) = 0.1 -> ema = 0.9*p + 0.1*e
+    out = ema_update(e, p, 0.999, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9, atol=1e-6)
