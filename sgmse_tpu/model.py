@@ -133,18 +133,22 @@ class ScoreModel:
     def init_params(self, key, num_freqs: Optional[int] = None, num_frames: int = 64,
                     batch: int = 1):
         f = num_freqs if num_freqs is not None else self.spec.num_freqs
-        x = jnp.zeros((batch, 1, f, num_frames), dtype=jnp.complex64)
-        t = jnp.ones((batch,), dtype=jnp.float32) * 0.5
         # Initialize on the CPU backend when available: parameter init is a
         # one-shot throwaway compile, and remote-compiling it on TPU costs
         # minutes for a 65M-param net. The arrays migrate to TPU on first use.
+        # The dummy inputs are created inside the CPU context (numpy) — the
+        # axon TPU backend cannot copy TPU arrays back to CPU.
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
+        x = np.zeros((batch, 1, f, num_frames), dtype=np.complex64)
+        t = np.full((batch,), 0.5, dtype=np.float32)
         if cpu is not None and jax.default_backend() != "cpu":
+            key_host = np.asarray(jax.random.key_data(key))  # device->host works
             with jax.default_device(cpu):
-                return self.dnn.init(key, x, x, t)
+                key_cpu = jax.random.wrap_key_data(jnp.asarray(key_host))
+                return self.dnn.init(key_cpu, x, x, t)
         return self.dnn.init(key, x, x, t)
 
     # --- preconditioning scalings (reference model.py:312-341) -----------------------
