@@ -88,7 +88,7 @@ def fir_upsample_2d(x: jnp.ndarray, k1d) -> jnp.ndarray:
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * w, c), x.dtype),
         grid=(b, h // ht, w // wt, c // ct),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 2 * ht, 2 * wt, ct),
             lambda bi, i, j, ci: (bi, i, j, ci),
@@ -144,8 +144,13 @@ def fir_upsample_2d_ad(x, k: Tuple[float, ...]):
 
 
 def _xla_upsample(x, k):
+    # Inline the XLA form (upfirdn2d with lhs_dilation) rather than calling
+    # upsample_2d, which would re-dispatch to the Pallas custom_vjp function
+    # when USE_PALLAS is on — jax.linear_transpose cannot transpose that.
     from . import upfirdn2d as ufd
-    return ufd.upsample_2d(x, list(k), factor=2)
+    k2d = ufd.setup_kernel(list(k)) * 4.0
+    p = k2d.shape[0] - 2
+    return ufd.upfirdn2d(x, k2d, up=2, pad=((p + 1) // 2 + 1, p // 2))
 
 
 def _up_fwd(x, k):
@@ -167,8 +172,11 @@ def fir_downsample_2d_ad(x, k: Tuple[float, ...]):
 
 
 def _xla_downsample(x, k):
+    # Same as _xla_upsample: inline the XLA form to avoid Pallas re-dispatch.
     from . import upfirdn2d as ufd
-    return ufd.downsample_2d(x, list(k), factor=2)
+    k2d = ufd.setup_kernel(list(k))
+    p = k2d.shape[0] - 2
+    return ufd.upfirdn2d(x, k2d, down=2, pad=((p + 1) // 2, p // 2))
 
 
 def _down_fwd(x, k):
@@ -204,7 +212,7 @@ def fir_downsample_2d(x: jnp.ndarray, k1d) -> jnp.ndarray:
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), x.dtype),
         grid=(b, ho // ht, wo // wt, c // ct),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, ht, wt, ct),
             lambda bi, i, j, ci: (bi, i, j, ci),

@@ -143,9 +143,13 @@ def _upfirdn_separable(x, k1d: np.ndarray, up: int, down: int, pad0: int, pad1: 
 # StyleGAN2-style resampling ops (reference up_or_down_sampling.py)
 # ---------------------------------------------------------------------------------------
 
-# When True (or None+TPU backend), route the hot 2x shapes through the fused
-# Pallas kernels in pallas_fir.py (with exact custom VJPs). The XLA path below
-# remains the reference semantics for all other shapes/backends.
+# When True, route the hot 2x shapes through the fused Pallas kernels in
+# pallas_fir.py (with exact custom VJPs). The XLA path below remains the
+# reference semantics for all other shapes/backends. Default False: the
+# current kernels rely on stride-2 slices that Mosaic does not lower on real
+# TPU hardware (verified 2026-08-16: upsample fails in mosaic compile,
+# downsample hits "Only 2D gather is supported"); they are kept (and tested in
+# interpret mode) as the starting point for a Mosaic-clean rewrite.
 USE_PALLAS: Optional[bool] = None
 
 
@@ -157,10 +161,9 @@ def _pallas_eligible(x, k, factor: int, gain: float) -> bool:
     karr = np.asarray(k, dtype=np.float32)
     if karr.ndim != 1 or karr.shape[0] != 4:
         return False
-    if USE_PALLAS is None:
-        backend = jax.default_backend()
-        return backend not in ("cpu", "gpu")
-    return USE_PALLAS
+    # USE_PALLAS=True is an explicit opt-in (tests run the kernels in
+    # interpret mode); None means "auto", currently always the XLA path.
+    return bool(USE_PALLAS)
 
 
 def upsample_2d(x: jnp.ndarray, k: Kernel = None, factor: int = 2, gain: float = 1.0):
