@@ -121,3 +121,21 @@ def test_enhance_batched(model_and_params):
     assert x_hat.shape == y_wav.shape
     assert nfe == 4
     assert rtf > 0
+
+
+def test_data_prediction_loss_with_pesq_weight():
+    """C29 parity: --pesq_weight>0 adds the differentiable PESQ term."""
+    model = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction",
+                       pesq_weight=5e-4, **TINY)
+    b, f, tt = 2, 64, 64
+    t = jnp.asarray([0.4, 0.6])
+    x = crandn(jax.random.key(2), (b, 1, f, tt)) * 0.1
+    x_hat = x + crandn(jax.random.key(1), (b, 1, f, tt)) * 0.05
+    loss = model._loss(x_hat, None, None, t, None, x)
+    assert np.isfinite(float(loss))
+    base = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction", **TINY)
+    loss_nopesq = base._loss(x_hat, None, None, t, None, x)
+    assert float(loss) != float(loss_nopesq)
+    # gradient w.r.t. the prediction stays finite through the PESQ term
+    g = jax.grad(lambda xh: model._loss(xh, None, None, t, None, x).real)(x_hat)
+    assert np.all(np.isfinite(np.asarray(g.real)))
