@@ -7,14 +7,20 @@ sampling/__init__.py:67) — on the flagship 65M-param NCSN++ model.
 Prints ONE JSON line:
   {"metric": ..., "value": V, "unit": "audio_sec_per_wall_sec", "vs_baseline": R}
 
-value: audio-seconds enhanced per wall-second with OUR pipeline (whole N-step
-trajectory in one jitted lax.scan, utterances batched).
+value: audio-seconds enhanced per wall-second with OUR pipeline: the whole
+N-step reverse trajectory traced into one jitted lax.scan, utterances batched,
+bfloat16 compute (float32 params) — the framework's production inference
+configuration.
 
 vs_baseline: speedup vs a reference-style driver measured on the SAME device:
-batch=1 per utterance and a host-driven Python loop over the 2N
-predictor/corrector calls with a host sync per step — the launch pattern of the
-PyTorch reference's PC loop (sampling/__init__.py:52-68). Same model, same math,
-same chip; the ratio isolates the architectural win (scan + batching + fusion).
+batch=1 per utterance, float32 (the reference's math), and a host-driven
+Python loop over the 2N predictor/corrector calls with a host sync per step —
+the launch pattern of the PyTorch reference's PC loop
+(sampling/__init__.py:52-68). Same model, same chip; the ratio captures the
+TPU-native wins (scan + batching + fusion + mixed precision).
+
+Robustness: the axon remote-compile service fails transiently (HTTP 500 /
+UNIMPLEMENTED); every stage retries a few times before giving up.
 """
 import json
 import time
@@ -22,6 +28,17 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _retry(fn, what, attempts=3, sleep_s=20):
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # transient remote-compile failures
+            if i == attempts - 1:
+                raise
+            print(f"# retry {what} after: {str(e)[:120]}", flush=True)
+            time.sleep(sleep_s)
 
 
 def main():
@@ -35,19 +52,28 @@ def main():
     n_steps = 30
     snr = 0.5
 
-    model = ScoreModel("ncsnpp", "ouve")
+    model = ScoreModel("ncsnpp", "ouve", precision="bfloat16")
+    model_f32 = ScoreModel("ncsnpp", "ouve")
     variables = model.init_params(jax.random.key(0), num_frames=num_frames)
     f = model.spec.num_freqs
     audio_sec_per_utt = (num_frames - 1) * model.spec.hop_length / sr
 
-    y = crandn(jax.random.key(1), (batch, 1, f, num_frames)) * 0.1
+    # Build the noisy input inside jit: complex arrays never appear as inputs
+    # of tiny eager programs (the axon backend's remote compiler is flaky on
+    # those) and stay on device end to end.
+    y = _retry(
+        lambda: jax.jit(
+            lambda k: crandn(k, (batch, 1, f, num_frames)) * 0.1
+        )(jax.random.key(1)).block_until_ready(),
+        "make noisy input")
     score_fn = model.score_fn(variables)
 
-    # ---- ours: batched, one jitted scan --------------------------------------------
+    # ---- ours: batched, one jitted scan, bf16 compute -------------------------------
     sampler = sampling.get_pc_sampler(
         "reverse_diffusion", "ald", model.sde, score_fn, y,
         denoise=True, eps=model.t_eps, snr=snr, corrector_steps=1)
-    sampler(jax.random.key(2))[0].block_until_ready()  # warmup/compile
+    _retry(lambda: sampler(jax.random.key(2))[0].block_until_ready(),
+           "compile ours")  # warmup/compile
     t0 = time.time()
     reps = 3
     for i in range(reps):
@@ -55,30 +81,37 @@ def main():
     ours_wall = (time.time() - t0) / reps
     ours_value = batch * audio_sec_per_utt / ours_wall
 
-    # ---- reference-style driver: batch=1, python loop, host sync per step ----------
-    sde = model.sde
+    # ---- reference-style driver: batch=1, f32, python loop, host sync per step ------
+    sde = model_f32.sde
+    score_fn_f32 = model_f32.score_fn(variables)
 
     @jax.jit
     def corrector_step(x, y1, t, key):
         std = sde.marginal_prob(x, y1, t)[1]
         step_size = (snr * std) ** 2 * 2.0
-        grad = score_fn(x, y1, t)
+        grad = score_fn_f32(x, y1, t)
         noise = crandn(key, x.shape)
         x_mean = x + step_size[:, None, None, None] * grad
         return x_mean + noise * jnp.sqrt(step_size * 2.0)[:, None, None, None]
 
     @jax.jit
     def predictor_step(x, y1, t, dt, key):
-        score = score_fn(x, y1, t)
+        score = score_fn_f32(x, y1, t)
         rev_f, rev_G = sde.reverse_discretize(score, x, y1, t, dt)
         z = crandn(key, x.shape)
         x_mean = x - rev_f
         return x_mean + rev_G[:, None, None, None] * z, x_mean
 
+    @jax.jit
+    def prior(key, y1):
+        return sde.prior_sampling(key, y1)
+
+    timesteps = np.linspace(sde.T, model.t_eps, n_steps)
+
     def reference_style_enhance(y1, key):
-        timesteps = np.linspace(sde.T, model.t_eps, n_steps)
         key, kp = jax.random.split(key)
-        xt = sde.prior_sampling(kp, y1)
+        xt = prior(kp, y1)
+        xt_mean = xt
         for i in range(n_steps):
             t = jnp.full((y1.shape[0],), timesteps[i], jnp.float32)
             dt = jnp.float32(timesteps[i] - timesteps[i + 1]) if i < n_steps - 1 \
@@ -86,25 +119,37 @@ def main():
             key, kc, kpred = jax.random.split(key, 3)
             xt = corrector_step(xt, y1, t, kc)
             xt, xt_mean = predictor_step(xt, y1, t, dt, kpred)
-            np.asarray(xt[0, 0, 0, 0])  # host sync each step (torch-loop behavior)
+            xt.block_until_ready()  # host sync each step (torch-loop behavior)
         return xt_mean
 
-    # warmup
-    reference_style_enhance(y[:1], jax.random.key(10))
-    t0 = time.time()
-    for b in range(batch):
-        reference_style_enhance(y[b:b + 1], jax.random.key(20 + b))
-    base_wall = time.time() - t0
-    base_value = batch * audio_sec_per_utt / base_wall
+    vs_baseline = None
+    try:
+        _retry(lambda: reference_style_enhance(y[:1], jax.random.key(10)),
+               "compile reference-style")  # warmup
+        t0 = time.time()
+        for b in range(batch):
+            reference_style_enhance(y[b:b + 1], jax.random.key(20 + b))
+        base_wall = time.time() - t0
+        base_value = batch * audio_sec_per_utt / base_wall
+        vs_baseline = round(ours_value / base_value, 3)
+    except Exception as e:
+        print(f"# baseline stage failed terminally: {str(e)[:120]}", flush=True)
 
     result = {
         "metric": "enhancement_throughput_pc_n30",
         "value": round(ours_value, 3),
         "unit": "audio_sec_per_wall_sec",
-        "vs_baseline": round(ours_value / base_value, 3),
+        "vs_baseline": vs_baseline,
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # Last-resort retry of the whole benchmark once: remote-compile
+        # flakiness must not cost the round's bench record.
+        print(f"# bench retrying from scratch after: {str(e)[:120]}", flush=True)
+        time.sleep(30)
+        main()

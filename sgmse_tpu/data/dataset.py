@@ -106,13 +106,15 @@ class WavLoader:
     """
 
     def __init__(self, dataset: Specs, batch_size: int, shuffle: bool,
-                 seed: int = 0, num_workers: int = 4, drop_last: Optional[bool] = None):
+                 seed: int = 0, num_workers: int = 4, drop_last: Optional[bool] = None,
+                 use_native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.drop_last = shuffle if drop_last is None else drop_last
+        self.use_native = use_native
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -133,7 +135,26 @@ class WavLoader:
                    for i in range(0, len(order), self.batch_size)]
 
         def load_batch(idxs):
-            item_rng = np.random.default_rng(rng.integers(0, 2**31))
+            batch_seed = int(rng.integers(0, 2**31))
+            if self.use_native:
+                # One native call decodes + crops + normalizes the whole batch
+                # with a C++ thread pool (data/native/wavload.cc), no GIL.
+                from . import native
+                res = native.load_pair_batch(
+                    [self.dataset.clean_files[int(i)] for i in idxs],
+                    [self.dataset.noisy_files[int(i)] for i in idxs],
+                    self.dataset.target_len,
+                    random_crop=self.dataset.shuffle_spec,
+                    seed=batch_seed,
+                    normalize=self.dataset.normalize)
+                if res is not None:
+                    x, y = res
+                    if x.shape[0] < self.batch_size:  # pad last partial batch
+                        reps = self.batch_size - x.shape[0]
+                        x = np.concatenate([x, np.repeat(x[-1:], reps, 0)])
+                        y = np.concatenate([y, np.repeat(y[-1:], reps, 0)])
+                    return x, y
+            item_rng = np.random.default_rng(batch_seed)
             xs, ys = [], []
             for i in idxs:
                 x, y = self.dataset.load_pair(int(i), item_rng)

@@ -63,6 +63,7 @@ class Conv3x3(nn.Module):
     dilation: int = 1
     init_scale: float = 1.0
     padding: Any = 1
+    dtype: Any = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
@@ -72,7 +73,7 @@ class Conv3x3(nn.Module):
         return nn.Conv(
             self.out_ch, (3, 3), strides=(self.stride, self.stride),
             padding=pad, kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.use_bias,
+            use_bias=self.use_bias, dtype=self.dtype,
             kernel_init=ddpm_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
         )(x)
@@ -84,12 +85,13 @@ class Conv1x1(nn.Module):
     stride: int = 1
     use_bias: bool = True
     init_scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
             self.out_ch, (1, 1), strides=(self.stride, self.stride),
-            padding="VALID", use_bias=self.use_bias,
+            padding="VALID", use_bias=self.use_bias, dtype=self.dtype,
             kernel_init=ddpm_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
         )(x)
@@ -99,12 +101,15 @@ class NIN(nn.Module):
     """Network-in-network 1x1 projection via channel contraction (reference layers.py:546-555)."""
     num_units: int
     init_scale: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
         w = self.param("W", ddpm_init(self.init_scale), (in_dim, self.num_units))
         b = self.param("b", jax.nn.initializers.zeros, (self.num_units,))
+        if self.dtype is not None:
+            x, w, b = x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype)
         return jnp.einsum("...c,cd->...d", x, w) + b
 
 
@@ -112,19 +117,23 @@ class DDPMDense(nn.Module):
     """Dense layer with DDPM init and zero bias (used for temb projections)."""
     features: int
     init_scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Dense(
-            self.features,
+            self.features, dtype=self.dtype,
             kernel_init=ddpm_init(self.init_scale),
             bias_init=jax.nn.initializers.zeros,
         )(x)
 
 
-def group_norm(ch: int) -> nn.GroupNorm:
-    """GroupNorm(min(ch//4, 32), eps=1e-6) as used throughout NCSN++ (layerspp.py:67)."""
-    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6)
+def group_norm(ch: int, dtype: Any = None) -> nn.GroupNorm:
+    """GroupNorm(min(ch//4, 32), eps=1e-6) as used throughout NCSN++ (layerspp.py:67).
+
+    With a bf16 compute dtype, flax still computes the normalization statistics
+    in float32 internally, so the reduction stays numerically stable."""
+    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, dtype=dtype)
 
 
 class GaussianFourierProjection(nn.Module):
@@ -165,10 +174,11 @@ class Combine(nn.Module):
     """Combine a pyramid skip with the trunk: 1x1 conv then sum/concat (layerspp.py:44-59)."""
     dim2: int
     method: str = "cat"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, y):
-        h = Conv1x1(self.dim2, name="Conv_0")(x)
+        h = Conv1x1(self.dim2, dtype=self.dtype, name="Conv_0")(x)
         if self.method == "cat":
             return jnp.concatenate([h, y], axis=-1)
         elif self.method == "sum":
@@ -183,22 +193,25 @@ class AttnBlockpp(nn.Module):
     """
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hn = group_norm(c)(x)
-        q = NIN(c, name="NIN_0")(hn)
-        k = NIN(c, name="NIN_1")(hn)
-        v = NIN(c, name="NIN_2")(hn)
+        hn = group_norm(c, dtype=self.dtype)(x)
+        q = NIN(c, dtype=self.dtype, name="NIN_0")(hn)
+        k = NIN(c, dtype=self.dtype, name="NIN_1")(hn)
+        v = NIN(c, dtype=self.dtype, name="NIN_2")(hn)
 
         q = q.reshape(b, h * w, c)
         k = k.reshape(b, h * w, c)
         v = v.reshape(b, h * w, c)
         logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5)
-        weights = jax.nn.softmax(logits, axis=-1)
+        # Softmax in float32 for stability regardless of compute dtype.
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        weights = weights.astype(v.dtype)
         out = jnp.einsum("bqk,bkc->bqc", weights, v).reshape(b, h, w, c)
-        out = NIN(c, init_scale=self.init_scale, name="NIN_3")(out)
+        out = NIN(c, init_scale=self.init_scale, dtype=self.dtype, name="NIN_3")(out)
         if not self.skip_rescale:
             return x + out
         return (x + out) / math.sqrt(2.0)
@@ -213,6 +226,7 @@ class FIRConv2d(nn.Module):
     resample_kernel: Tuple[int, ...] = (1, 3, 3, 1)
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -220,6 +234,8 @@ class FIRConv2d(nn.Module):
         assert self.kernel >= 1 and self.kernel % 2 == 1
         init = self.kernel_init if self.kernel_init is not None else jax.nn.initializers.zeros
         w = self.param("weight", init, (self.kernel, self.kernel, x.shape[-1], self.out_ch))
+        if self.dtype is not None:
+            x, w = x.astype(self.dtype), w.astype(self.dtype)
         if self.up:
             x = ufd.upsample_conv_2d(x, w, k=self.resample_kernel)
         elif self.down:
@@ -232,7 +248,7 @@ class FIRConv2d(nn.Module):
             )
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (self.out_ch,))
-            x = x + b
+            x = x + (b.astype(self.dtype) if self.dtype is not None else b)
         return x
 
 
@@ -243,6 +259,7 @@ class Upsample(nn.Module):
     with_conv: bool = False
     fir: bool = False
     fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -251,14 +268,15 @@ class Upsample(nn.Module):
             b, h, w, c = x.shape
             hh = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
             if self.with_conv:
-                hh = Conv3x3(out_ch, name="Conv_0")(hh)
+                hh = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(hh)
         else:
             if not self.with_conv:
                 hh = ufd.upsample_2d(x, self.fir_kernel, factor=2)
             else:
                 hh = FIRConv2d(out_ch, kernel=3, up=True,
                                resample_kernel=self.fir_kernel, use_bias=True,
-                               kernel_init=ddpm_init(), name="Conv2d_0")(x)
+                               kernel_init=ddpm_init(), dtype=self.dtype,
+                               name="Conv2d_0")(x)
         return hh
 
 
@@ -269,6 +287,7 @@ class Downsample(nn.Module):
     with_conv: bool = False
     fir: bool = False
     fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -276,7 +295,8 @@ class Downsample(nn.Module):
         if not self.fir:
             if self.with_conv:
                 x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
-                x = Conv3x3(out_ch, stride=2, padding=0, name="Conv_0")(x)
+                x = Conv3x3(out_ch, stride=2, padding=0, dtype=self.dtype,
+                            name="Conv_0")(x)
             else:
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         else:
@@ -285,7 +305,8 @@ class Downsample(nn.Module):
             else:
                 x = FIRConv2d(out_ch, kernel=3, down=True,
                               resample_kernel=self.fir_kernel, use_bias=True,
-                              kernel_init=ddpm_init(), name="Conv2d_0")(x)
+                              kernel_init=ddpm_init(), dtype=self.dtype,
+                              name="Conv2d_0")(x)
         return x
 
 
@@ -299,24 +320,27 @@ class ResnetBlockDDPMpp(nn.Module):
     skip_rescale: bool = False
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temb=None, train: bool = False):
         out_ch = self.out_ch if self.out_ch else self.in_ch
         h = self.act(nn.GroupNorm(num_groups=min(self.in_ch // 4, 32), epsilon=1e-6,
-                                  name="GroupNorm_0")(x))
-        h = Conv3x3(out_ch, name="Conv_0")(h)
+                                  dtype=self.dtype, name="GroupNorm_0")(x))
+        h = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
-            h = h + DDPMDense(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+            h = h + DDPMDense(out_ch, dtype=self.dtype,
+                              name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                                  name="GroupNorm_1")(h))
+                                  dtype=self.dtype, name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
+                    name="Conv_1")(h)
         if x.shape[-1] != out_ch:
             if self.conv_shortcut:
-                x = Conv3x3(out_ch, name="Conv_2")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, name="Conv_2")(x)
             else:
-                x = NIN(out_ch, name="NIN_0")(x)
+                x = NIN(out_ch, dtype=self.dtype, name="NIN_0")(x)
         if not self.skip_rescale:
             return x + h
         return (x + h) / math.sqrt(2.0)
@@ -335,12 +359,13 @@ class ResnetBlockBigGANpp(nn.Module):
     skip_rescale: bool = True
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temb=None, train: bool = False):
         out_ch = self.out_ch if self.out_ch else self.in_ch
         h = self.act(nn.GroupNorm(num_groups=min(self.in_ch // 4, 32), epsilon=1e-6,
-                                  name="GroupNorm_0")(x))
+                                  dtype=self.dtype, name="GroupNorm_0")(x))
 
         if self.up:
             if self.fir:
@@ -357,16 +382,18 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = ufd.naive_downsample_2d(h, factor=2)
                 x = ufd.naive_downsample_2d(x, factor=2)
 
-        h = Conv3x3(out_ch, name="Conv_0")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
-            h = h + DDPMDense(out_ch, name="Dense_0")(self.act(temb))[:, None, None, :]
+            h = h + DDPMDense(out_ch, dtype=self.dtype,
+                              name="Dense_0")(self.act(temb))[:, None, None, :]
         h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                                  name="GroupNorm_1")(h))
+                                  dtype=self.dtype, name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = Conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
+                    name="Conv_1")(h)
 
         if self.in_ch != out_ch or self.up or self.down:
-            x = Conv1x1(out_ch, name="Conv_2")(x)
+            x = Conv1x1(out_ch, dtype=self.dtype, name="Conv_2")(x)
 
         if not self.skip_rescale:
             return x + h

@@ -69,19 +69,42 @@ class NCSNppBase(nn.Module):
     centered: bool = True
     # Variant switches (not reference flags):
     output_layer_before_sigma: bool = False  # True for ncsnpp_48k
+    # Mixed precision: "float32" or "bfloat16". Parameters are always stored
+    # float32; bfloat16 selects the compute dtype so convs/matmuls hit the
+    # MXU at double rate (softmax and GroupNorm statistics stay float32).
+    precision: str = "float32"
+    # Rematerialization: recompute res-block activations in the backward pass
+    # instead of storing them (jax.checkpoint / flax nn.remat), trading ~30%
+    # more FLOPs for a large activation-memory saving — the TPU-native answer
+    # to long 48 kHz utterances instead of gradient checkpoint hacks.
+    remat: bool = False
+
+    @property
+    def compute_dtype(self):
+        if self.precision in ("bfloat16", "bf16"):
+            return jnp.bfloat16
+        if self.precision in ("float32", "fp32", "f32"):
+            return None
+        raise ValueError(f"Unknown precision: {self.precision}")
 
     def _resblock(self, act, in_ch, out_ch=None, up=False, down=False, name=None):
+        biggan_cls, ddpm_cls = ResnetBlockBigGANpp, ResnetBlockDDPMpp
+        if self.remat:
+            # flax remat traces core_fn(module, x, temb, train): `train`
+            # sits at index 3 and must be static (it gates nn.Dropout).
+            biggan_cls = nn.remat(biggan_cls, static_argnums=(3,))
+            ddpm_cls = nn.remat(ddpm_cls, static_argnums=(3,))
         if self.resblock_type == "biggan":
-            return ResnetBlockBigGANpp(
+            return biggan_cls(
                 act=act, in_ch=in_ch, out_ch=out_ch, up=up, down=down,
                 dropout=self.dropout, fir=self.fir, fir_kernel=self.fir_kernel,
                 skip_rescale=self.skip_rescale, init_scale=self.init_scale,
-                temb_dim=self.nf * 4, name=name)
+                temb_dim=self.nf * 4, dtype=self.compute_dtype, name=name)
         elif self.resblock_type == "ddpm":
-            return ResnetBlockDDPMpp(
+            return ddpm_cls(
                 act=act, in_ch=in_ch, out_ch=out_ch, dropout=self.dropout,
                 skip_rescale=self.skip_rescale, init_scale=self.init_scale,
-                temb_dim=self.nf * 4, name=name)
+                temb_dim=self.nf * 4, dtype=self.compute_dtype, name=name)
         raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 
     @nn.compact
@@ -92,13 +115,14 @@ class NCSNppBase(nn.Module):
         assert self.embedding_type in ("fourier", "positional")
         act = get_act(self.nonlinearity)
         nf = self.nf
+        dt = self.compute_dtype
         num_resolutions = len(self.ch_mult)
         combine_method = self.progressive_combine.lower()
 
         # Complex (B, 1, F, T) pair -> real NHWC (B, F, T, 4).
         x = jnp.stack(
             [x_t[:, 0].real, x_t[:, 0].imag, y[:, 0].real, y[:, 0].imag], axis=-1
-        ).astype(jnp.float32)
+        ).astype(dt if dt is not None else jnp.float32)
         num_channels = 4
 
         # --- time embedding -----------------------------------------------------------
@@ -111,8 +135,8 @@ class NCSNppBase(nn.Module):
             temb = get_timestep_embedding(t, nf)
 
         if self.conditional:
-            temb = DDPMDense(nf * 4, name="temb_dense0")(temb)
-            temb = DDPMDense(nf * 4, name="temb_dense1")(act(temb))
+            temb = DDPMDense(nf * 4, dtype=dt, name="temb_dense0")(temb)
+            temb = DDPMDense(nf * 4, dtype=dt, name="temb_dense1")(act(temb))
         else:
             temb = None
 
@@ -121,7 +145,7 @@ class NCSNppBase(nn.Module):
 
         # --- down path ----------------------------------------------------------------
         input_pyramid = x if self.progressive_input != "none" else None
-        hs = [Conv3x3(nf, name="conv_in")(x)]
+        hs = [Conv3x3(nf, dtype=dt, name="conv_in")(x)]
         in_ch = nf
 
         for i_level in range(num_resolutions):
@@ -129,23 +153,23 @@ class NCSNppBase(nn.Module):
                 out_ch = nf * self.ch_mult[i_level]
                 h = self._resblock(act, in_ch, out_ch,
                                    name=f"down_{i_level}_block{i_block}")(
-                    hs[-1], temb, train=train)
+                    hs[-1], temb, train)
                 in_ch = out_ch
                 if h.shape[1] in self.attn_resolutions:
                     h = AttnBlockpp(skip_rescale=self.skip_rescale,
-                                    init_scale=self.init_scale,
+                                    init_scale=self.init_scale, dtype=dt,
                                     name=f"down_{i_level}_attn{i_block}")(h)
                 hs.append(h)
 
             if i_level != num_resolutions - 1:
                 if self.resblock_type == "ddpm":
                     h = Downsample(with_conv=self.resamp_with_conv, fir=self.fir,
-                                   fir_kernel=self.fir_kernel,
+                                   fir_kernel=self.fir_kernel, dtype=dt,
                                    name=f"down_{i_level}_downsample")(hs[-1])
                 else:
                     h = self._resblock(act, in_ch, down=True,
                                        name=f"down_{i_level}_downres")(
-                        hs[-1], temb, train=train)
+                        hs[-1], temb, train)
 
                 if self.progressive_input == "input_skip":
                     # Progressive input pyramid: FIR-downsample the raw input and
@@ -153,14 +177,14 @@ class NCSNppBase(nn.Module):
                     input_pyramid = blocks.ufd.downsample_2d(
                         input_pyramid, self.fir_kernel, factor=2) if self.fir else \
                         blocks.ufd.naive_downsample_2d(input_pyramid, factor=2)
-                    h = Combine(dim2=in_ch, method=combine_method,
+                    h = Combine(dim2=in_ch, method=combine_method, dtype=dt,
                                 name=f"down_{i_level}_combine")(input_pyramid, h)
                     if combine_method == "cat":
                         in_ch *= 2
                 elif self.progressive_input == "residual":
                     input_pyramid = Downsample(
                         out_ch=in_ch, with_conv=True, fir=self.fir,
-                        fir_kernel=self.fir_kernel,
+                        fir_kernel=self.fir_kernel, dtype=dt,
                         name=f"down_{i_level}_pyramid_down")(input_pyramid)
                     if self.skip_rescale:
                         input_pyramid = (input_pyramid + h) / math.sqrt(2.0)
@@ -171,10 +195,10 @@ class NCSNppBase(nn.Module):
 
         # --- middle -------------------------------------------------------------------
         h = hs[-1]
-        h = self._resblock(act, in_ch, name="mid_block0")(h, temb, train=train)
+        h = self._resblock(act, in_ch, name="mid_block0")(h, temb, train)
         h = AttnBlockpp(skip_rescale=self.skip_rescale, init_scale=self.init_scale,
-                        name="mid_attn")(h)
-        h = self._resblock(act, in_ch, name="mid_block1")(h, temb, train=train)
+                        dtype=dt, name="mid_attn")(h)
+        h = self._resblock(act, in_ch, name="mid_block1")(h, temb, train)
 
         # --- up path ------------------------------------------------------------------
         pyramid = None
@@ -184,27 +208,29 @@ class NCSNppBase(nn.Module):
                 skip = hs.pop()
                 h = self._resblock(act, h.shape[-1] + skip.shape[-1], out_ch,
                                    name=f"up_{i_level}_block{i_block}")(
-                    jnp.concatenate([h, skip], axis=-1), temb, train=train)
+                    jnp.concatenate([h, skip], axis=-1), temb, train)
                 in_ch = out_ch
 
             if h.shape[1] in self.attn_resolutions:
                 h = AttnBlockpp(skip_rescale=self.skip_rescale,
-                                init_scale=self.init_scale,
+                                init_scale=self.init_scale, dtype=dt,
                                 name=f"up_{i_level}_attn")(h)
 
             if self.progressive != "none":
                 if i_level == num_resolutions - 1:
                     if self.progressive == "output_skip":
                         pyramid = act(nn.GroupNorm(
-                            num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                            num_groups=min(in_ch // 4, 32), epsilon=1e-6, dtype=dt,
                             name=f"up_{i_level}_pyramid_norm")(h))
                         pyramid = Conv3x3(num_channels, init_scale=self.init_scale,
+                                          dtype=dt,
                                           name=f"up_{i_level}_pyramid_conv")(pyramid)
                     else:  # residual
                         pyramid = act(nn.GroupNorm(
-                            num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                            num_groups=min(in_ch // 4, 32), epsilon=1e-6, dtype=dt,
                             name=f"up_{i_level}_pyramid_norm")(h))
-                        pyramid = Conv3x3(in_ch, name=f"up_{i_level}_pyramid_conv")(pyramid)
+                        pyramid = Conv3x3(in_ch, dtype=dt,
+                                          name=f"up_{i_level}_pyramid_conv")(pyramid)
                 else:
                     if self.progressive == "output_skip":
                         pyramid = blocks.ufd.upsample_2d(
@@ -214,14 +240,15 @@ class NCSNppBase(nn.Module):
                                 (pyramid.shape[0], pyramid.shape[1] * 2,
                                  pyramid.shape[2] * 2, pyramid.shape[3]), "nearest")
                         pyramid_h = act(nn.GroupNorm(
-                            num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                            num_groups=min(in_ch // 4, 32), epsilon=1e-6, dtype=dt,
                             name=f"up_{i_level}_pyramid_norm")(h))
                         pyramid_h = Conv3x3(num_channels, init_scale=self.init_scale,
+                                            dtype=dt,
                                             name=f"up_{i_level}_pyramid_conv")(pyramid_h)
                         pyramid = pyramid + pyramid_h
                     else:  # residual
                         pyramid = Upsample(out_ch=in_ch, with_conv=True, fir=self.fir,
-                                           fir_kernel=self.fir_kernel,
+                                           fir_kernel=self.fir_kernel, dtype=dt,
                                            name=f"up_{i_level}_pyramid_up")(pyramid)
                         if self.skip_rescale:
                             pyramid = (pyramid + h) / math.sqrt(2.0)
@@ -232,11 +259,11 @@ class NCSNppBase(nn.Module):
             if i_level != 0:
                 if self.resblock_type == "ddpm":
                     h = Upsample(with_conv=self.resamp_with_conv, fir=self.fir,
-                                 fir_kernel=self.fir_kernel,
+                                 fir_kernel=self.fir_kernel, dtype=dt,
                                  name=f"up_{i_level}_upsample")(h)
                 else:
                     h = self._resblock(act, in_ch, up=True,
-                                       name=f"up_{i_level}_upres")(h, temb, train=train)
+                                       name=f"up_{i_level}_upres")(h, temb, train)
 
         assert not hs
 
@@ -244,17 +271,19 @@ class NCSNppBase(nn.Module):
             h = pyramid
         else:
             h = act(nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                                 name="out_norm")(h))
-            h = Conv3x3(num_channels, init_scale=self.init_scale, name="out_conv")(h)
+                                 dtype=dt, name="out_norm")(h))
+            h = Conv3x3(num_channels, init_scale=self.init_scale, dtype=dt,
+                        name="out_conv")(h)
 
         # --- output scaling + complex packing -----------------------------------------
         def apply_output_layer(hh):
             # 1x1 conv 4 -> 2 with torch-default init (reference ncsnpp.py:105).
-            return nn.Conv(2, (1, 1), padding="VALID",
+            return nn.Conv(2, (1, 1), padding="VALID", dtype=dt,
                            kernel_init=torch_conv_default_init(),
                            bias_init=blocks.torch_conv_bias_init(hh.shape[-1]),
                            name="output_layer")(hh)
 
+        h = h.astype(jnp.float32)
         if self.output_layer_before_sigma:
             # ncsnpp_48k order (ncsnpp_48k.py:414-424).
             h = apply_output_layer(h)
@@ -282,6 +311,12 @@ class NCSNpp(NCSNppBase):
         parser.add_argument("--centered", dest="centered", action="store_true",
                             help="The data is centered [-1, 1]")
         parser.set_defaults(centered=True)
+        parser.add_argument("--precision", type=str, default="float32",
+                            choices=("float32", "bfloat16"),
+                            help="Compute dtype (params stay float32).")
+        parser.add_argument("--remat", action="store_true",
+                            help="Recompute res-block activations in backward "
+                                 "(less memory, ~30% more FLOPs).")
         return parser
 
 
@@ -302,6 +337,12 @@ class NCSNpp_v2(NCSNppBase):
         parser.add_argument("--ch_mult", type=int, nargs="+", default=[1, 1, 2, 2, 2, 2, 2])
         parser.add_argument("--num_res_blocks", type=int, default=2)
         parser.add_argument("--attn_resolutions", type=int, nargs="+", default=[16])
+        parser.add_argument("--precision", type=str, default="float32",
+                            choices=("float32", "bfloat16"),
+                            help="Compute dtype (params stay float32).")
+        parser.add_argument("--remat", action="store_true",
+                            help="Recompute res-block activations in backward "
+                                 "(less memory, ~30% more FLOPs).")
         return parser
 
 
@@ -328,4 +369,10 @@ class NCSNpp_48k(NCSNppBase):
                             help="Progressive downsampling method")
         parser.add_argument("--progressive_input", type=str, default="none",
                             help="Progressive upsampling method")
+        parser.add_argument("--precision", type=str, default="float32",
+                            choices=("float32", "bfloat16"),
+                            help="Compute dtype (params stay float32).")
+        parser.add_argument("--remat", action="store_true",
+                            help="Recompute res-block activations in backward "
+                                 "(less memory, ~30% more FLOPs).")
         return parser

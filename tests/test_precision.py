@@ -1,0 +1,82 @@
+"""Mixed precision (bfloat16 compute, float32 params) for the NCSN++ family."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgmse_tpu.model import ScoreModel
+from sgmse_tpu.sdes import crandn
+
+TINY = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=1, attn_resolutions=(16,),
+            image_size=64, n_fft=126, hop_length=32, num_frames=64)
+
+
+@pytest.mark.parametrize("backbone", ["ncsnpp", "ncsnpp_v2", "ncsnpp_48k"])
+def test_bf16_matches_f32_within_tolerance(backbone):
+    m32 = ScoreModel(backbone, "ouve", precision="float32", **TINY)
+    m16 = ScoreModel(backbone, "ouve", precision="bfloat16", **TINY)
+    variables = m32.init_params(jax.random.key(0), num_frames=64)
+
+    x = crandn(jax.random.key(1), (2, 1, 64, 64)) * 0.1
+    y = crandn(jax.random.key(2), (2, 1, 64, 64)) * 0.1
+    t = jnp.asarray([0.3, 0.7])
+
+    out32 = np.asarray(m32.forward(variables, x, y, t))
+    out16 = np.asarray(m16.forward(variables, x, y, t))
+
+    assert out16.dtype == np.complex64  # output packs back to complex64
+    # bf16 has ~3 decimal digits; allow relative error on the output scale.
+    scale = np.abs(out32).max() + 1e-12
+    rel = np.abs(out16 - out32).max() / scale
+    assert rel < 0.1, f"bf16/f32 divergence too large: {rel}"
+    assert np.all(np.isfinite(out16.real))
+
+
+def test_params_stay_float32_with_bf16_compute():
+    m16 = ScoreModel("ncsnpp", "ouve", precision="bfloat16", **TINY)
+    variables = m16.init_params(jax.random.key(0), num_frames=64)
+    dtypes = {a.dtype for a in jax.tree.leaves(variables)}
+    assert dtypes == {jnp.dtype(jnp.float32)}
+
+
+def test_precision_roundtrips_through_config():
+    m16 = ScoreModel("ncsnpp", "ouve", precision="bfloat16", **TINY)
+    cfg = m16.config_dict()
+    assert cfg["precision"] == "bfloat16"
+    m2 = ScoreModel.from_config(cfg)
+    assert m2.dnn.precision == "bfloat16"
+
+
+def test_invalid_precision_rejected():
+    m = ScoreModel("ncsnpp", "ouve", precision="fp16", **TINY)
+    with pytest.raises(ValueError):
+        m.init_params(jax.random.key(0), num_frames=64)
+
+
+def test_remat_matches_no_remat():
+    """nn.remat changes memory, not math: outputs and grads must match."""
+    m = ScoreModel("ncsnpp", "ouve", **TINY)
+    mr = ScoreModel("ncsnpp", "ouve", remat=True, **TINY)
+    variables = m.init_params(jax.random.key(0), num_frames=64)
+
+    x = crandn(jax.random.key(1), (1, 1, 64, 64)) * 0.1
+    y = crandn(jax.random.key(2), (1, 1, 64, 64)) * 0.1
+    t = jnp.asarray([0.5])
+
+    out = np.asarray(m.forward(variables, x, y, t))
+    out_r = np.asarray(mr.forward(variables, x, y, t))
+    np.testing.assert_allclose(out_r, out, atol=1e-5)
+
+    def loss(mm):
+        def f(params):
+            v = {"params": params}
+            o = mm.forward(v, x, y, t)
+            return jnp.sum(jnp.abs(o) ** 2)
+        return f
+
+    g = jax.grad(loss(m))(variables["params"])
+    g_r = jax.grad(loss(mr))(variables["params"])
+    flat = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g)])
+    flat_r = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_r)])
+    np.testing.assert_allclose(np.asarray(flat_r), np.asarray(flat), atol=1e-4)

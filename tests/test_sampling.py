@@ -59,7 +59,21 @@ def test_pc_sampler_none_both():
     assert sample.shape == y.shape
 
 
-def test_ode_sampler_inverts_diffusion():
+def test_ode_sampler_rk4_inverts_diffusion():
+    sde = OUVESDE(N=30)
+    x0 = crandn(jax.random.key(1), (1, 1, 16, 16)) * 0.3
+    y = x0 + crandn(jax.random.key(2), (1, 1, 16, 16)) * 0.1
+    sampler = sampling.get_ode_sampler(sde, _oracle_score(sde, x0), y, eps=0.03,
+                                       method="rk4")
+    sample, nfe = sampler(jax.random.key(0))
+    err = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
+    assert err < 0.15, f"relative error {err}"
+    assert nfe == 121  # 4*30 + denoise
+
+
+def test_ode_sampler_rk45_inverts_diffusion():
+    """Default method: adaptive Dormand-Prince 5(4), parity with the
+    reference's scipy RK45 (rtol=atol=1e-5) but fully on device."""
     sde = OUVESDE(N=30)
     x0 = crandn(jax.random.key(1), (1, 1, 16, 16)) * 0.3
     y = x0 + crandn(jax.random.key(2), (1, 1, 16, 16)) * 0.1
@@ -67,7 +81,20 @@ def test_ode_sampler_inverts_diffusion():
     sample, nfe = sampler(jax.random.key(0))
     err = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
     assert err < 0.15, f"relative error {err}"
-    assert nfe == 121  # 4*30 + denoise
+    assert isinstance(nfe, int) and nfe > 7  # adaptive, data-dependent
+
+
+def test_ode_sampler_rk45_tolerance_controls_nfe():
+    """Tighter tolerances must cost at least as many function evaluations."""
+    sde = OUVESDE(N=30)
+    x0 = crandn(jax.random.key(1), (1, 1, 16, 16)) * 0.3
+    y = x0 + crandn(jax.random.key(2), (1, 1, 16, 16)) * 0.1
+    score = _oracle_score(sde, x0)
+    _, nfe_loose = sampling.get_ode_sampler(
+        sde, score, y, eps=0.03, rtol=1e-2, atol=1e-2)(jax.random.key(0))
+    _, nfe_tight = sampling.get_ode_sampler(
+        sde, score, y, eps=0.03, rtol=1e-6, atol=1e-6)(jax.random.key(0))
+    assert nfe_tight >= nfe_loose
 
 
 @pytest.mark.parametrize("sampler_type", ["ode", "sde"])
