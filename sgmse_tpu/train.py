@@ -204,6 +204,8 @@ class Trainer:
                     rate = running_count * x_wav.shape[0] / (time.time() - t_start)
                     self.logger.log_metrics(
                         {"train_loss": avg, "samples_per_sec": rate}, step)
+                    print(f"step {step}: train_loss={avg:.4f} "
+                          f"({rate:.1f} samples/s)", flush=True)
                     running_loss, running_count = 0.0, 0
                     t_start = time.time()
                 self.policies.on_train_step(step, self._state_tree(state), config)

@@ -79,3 +79,16 @@ def test_snr_db():
     x = np.ones(100)
     n = np.ones(100) * 0.1
     assert abs(M.snr_dB(x, n) - 20.0) < 1e-6
+
+
+def test_rtf_harness_and_debug_nans():
+    import jax
+    import jax.numpy as jnp
+    from sgmse_tpu.utils.profiling import debug_nans, rtf_harness
+
+    f = jax.jit(lambda: jnp.ones((32, 32)).sum())
+    out = rtf_harness(lambda: f(), audio_seconds=2.0, warmup=1, reps=2)
+    assert out["rtf"] > 0 and abs(out["inv_rtf"] * out["rtf"] - 1.0) < 1e-6
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans
