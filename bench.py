@@ -19,6 +19,12 @@ the launch pattern of the PyTorch reference's PC loop
 (sampling/__init__.py:52-68). Same model, same chip; the ratio captures the
 TPU-native wins (scan + batching + fusion + mixed precision).
 
+Batch scaling measured on one v5e chip (2.04 s utts, 60 NFE): batch 4 ->
+2.42 audio_s/wall_s, batch 16 -> 9.10, batch 64 -> 8.84 (saturated); the
+trajectory is latency-bound, so cross-utterance batching is ~free up to
+saturation. batch=16 is the default as the knee of that curve. The
+reference-style baseline loop stays at 4 utterances to bound its runtime.
+
 Robustness: the axon remote-compile service fails transiently (HTTP 500 /
 UNIMPLEMENTED); every stage retries a few times before giving up.
 """
@@ -47,7 +53,7 @@ def main():
     from sgmse_tpu import sampling
 
     sr = 16000
-    batch = 4
+    batch = 16
     num_frames = 256  # 2.04 s per utterance at hop 128
     n_steps = 30
     snr = 0.5
@@ -126,11 +132,12 @@ def main():
     try:
         _retry(lambda: reference_style_enhance(y[:1], jax.random.key(10)),
                "compile reference-style")  # warmup
+        n_base = min(batch, 4)
         t0 = time.time()
-        for b in range(batch):
+        for b in range(n_base):
             reference_style_enhance(y[b:b + 1], jax.random.key(20 + b))
         base_wall = time.time() - t0
-        base_value = batch * audio_sec_per_utt / base_wall
+        base_value = n_base * audio_sec_per_utt / base_wall
         vs_baseline = round(ours_value / base_value, 3)
     except Exception as e:
         print(f"# baseline stage failed terminally: {str(e)[:120]}", flush=True)

@@ -45,6 +45,10 @@ def main():
                         help="Print total RTF over the run (excludes jit warmup: "
                              "the first program of each shape bucket is compiled "
                              "before the clock starts)")
+    parser.add_argument("--chunk_seconds", type=float, default=None,
+                        help="Enhance long files in overlapping chunks of this "
+                             "many seconds (overlap-add crossfade, bounded "
+                             "memory for arbitrarily long audio)")
     parser.add_argument("--precision", type=str, default=None,
                         choices=("float32", "bfloat16"),
                         help="Override the checkpoint's compute precision "
@@ -128,7 +132,12 @@ def main():
     if args.batch_size <= 1:
         for filename, y in items:
             key, sub = jax.random.split(key)
-            x_hat = model.enhance(variables, y, key=sub, **sampler_kwargs)
+            if args.chunk_seconds is not None:
+                x_hat = model.enhance_long(variables, y, key=sub,
+                                           chunk_seconds=args.chunk_seconds,
+                                           **sampler_kwargs)
+            else:
+                x_hat = model.enhance(variables, y, key=sub, **sampler_kwargs)
             out = join(args.enhanced_dir, filename)
             makedirs(dirname(out), exist_ok=True)
             write_wav(out, x_hat, target_sr)

@@ -362,6 +362,51 @@ class ScoreModel:
                                        **kwargs)
 
     # --- one-call enhancement (reference model.py:426-465) ---------------------------
+    def enhance_long(self, variables, y_wav, chunk_seconds: float = 20.0,
+                     overlap: float = 0.1, key=None, **kwargs):
+        """Chunked overlap-add enhancement for very long utterances.
+
+        The reference runs whole utterances through the sampler, so memory
+        grows linearly with length (and attention cost quadratically in the
+        time axis at 16 kHz). This splits the waveform into fixed-size
+        chunks with `overlap` fraction of linear crossfade, enhances each
+        chunk independently (same padded shape => ONE compiled program for
+        all chunks), and overlap-adds. Bounded memory at any length.
+        """
+        if key is None:
+            key = jax.random.key(int(time.time() * 1e6) % (2**31))
+        y_wav = np.asarray(y_wav)
+        assert y_wav.ndim == 1, "enhance_long operates on single utterances"
+        sr = self.sr
+        chunk = int(chunk_seconds * sr)
+        hop = int(chunk * (1.0 - overlap))
+        if y_wav.shape[-1] <= chunk:
+            return self.enhance(variables, y_wav, key=key, **kwargs)
+
+        n_chunks = 1 + math.ceil(max(y_wav.shape[-1] - chunk, 0) / hop)
+        total = (n_chunks - 1) * hop + chunk
+        y_pad = np.pad(y_wav, (0, total - y_wav.shape[-1]))
+        out = np.zeros(total, dtype=np.float32)
+        weight = np.zeros(total, dtype=np.float32)
+        ramp = chunk - hop  # crossfade length
+        win = np.ones(chunk, dtype=np.float32)
+        if ramp > 0:
+            win[:ramp] = np.linspace(0.0, 1.0, ramp, endpoint=False)
+            win[-ramp:] = np.linspace(1.0, 0.0, ramp, endpoint=False)
+        for i in range(n_chunks):
+            key, sub = jax.random.split(key)
+            seg = y_pad[i * hop: i * hop + chunk]
+            x_hat = self.enhance(variables, seg, key=sub, **kwargs)
+            w = win.copy()
+            if i == 0 and ramp > 0:
+                w[:ramp] = 1.0  # no fade-in on the first chunk
+            if i == n_chunks - 1 and ramp > 0:
+                w[-ramp:] = 1.0  # no fade-out on the last chunk
+            out[i * hop: i * hop + chunk] += np.asarray(x_hat) * w
+            weight[i * hop: i * hop + chunk] += w
+        out = out / np.maximum(weight, 1e-8)
+        return out[: y_wav.shape[-1]]
+
     def enhance(self, variables, y_wav, key=None, sampler_type: str = "pc",
                 predictor: str = "reverse_diffusion", corrector: str = "ald",
                 N: int = 30, corrector_steps: int = 1, snr: float = 0.5,

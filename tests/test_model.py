@@ -139,3 +139,23 @@ def test_data_prediction_loss_with_pesq_weight():
     # gradient w.r.t. the prediction stays finite through the PESQ term
     g = jax.grad(lambda xh: model._loss(xh, None, None, t, None, x).real)(x_hat)
     assert np.all(np.isfinite(np.asarray(g.real)))
+
+
+def test_enhance_long_chunked_ola(model_and_params):
+    """Chunked overlap-add enhancement: length-preserving, finite, and close
+    to the unchunked path on a short signal (identical when no chunking)."""
+    model, variables = model_and_params
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(9000).astype(np.float32) * 0.1
+
+    out = model.enhance_long(variables, y, chunk_seconds=0.25, overlap=0.2,
+                             key=jax.random.key(0), N=2)
+    assert out.shape == y.shape
+    assert np.all(np.isfinite(out))
+
+    # Shorter than one chunk -> exactly the plain enhance path.
+    y_short = y[:3000]
+    a = model.enhance_long(variables, y_short, chunk_seconds=1.0,
+                           key=jax.random.key(1), N=2)
+    b = model.enhance(variables, y_short, key=jax.random.key(1), N=2)
+    np.testing.assert_allclose(a, b, atol=1e-6)
