@@ -107,7 +107,8 @@ class WavLoader:
 
     def __init__(self, dataset: Specs, batch_size: int, shuffle: bool,
                  seed: int = 0, num_workers: int = 4, drop_last: Optional[bool] = None,
-                 use_native: bool = True):
+                 use_native: bool = True, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -115,6 +116,11 @@ class WavLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = shuffle if drop_last is None else drop_last
         self.use_native = use_native
+        # Multi-host SPMD: each process loads a disjoint file shard (the JAX
+        # analogue of DistributedSampler under the reference's DDP). All
+        # processes use the same seed so the global permutation agrees.
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -128,8 +134,10 @@ class WavLoader:
         rng = np.random.default_rng(self.seed + self._epoch)
         self._epoch += 1
         order = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.process_count is not None and self.process_count > 1:
+            order = order[self.process_index::self.process_count]
         if self.drop_last:
-            order = order[: (n // self.batch_size) * self.batch_size]
+            order = order[: (len(order) // self.batch_size) * self.batch_size]
 
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
@@ -253,8 +261,11 @@ class SpecsDataModule:
             self.test_set = Specs(self.base_dir, "test", shuffle_spec=False, **common)
 
     def train_dataloader(self) -> WavLoader:
+        import jax
         return WavLoader(self.train_set, self.batch_size, shuffle=True,
-                         seed=self.seed, num_workers=self.num_workers)
+                         seed=self.seed, num_workers=self.num_workers,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
 
     def val_dataloader(self) -> WavLoader:
         return WavLoader(self.valid_set, self.batch_size, shuffle=False,

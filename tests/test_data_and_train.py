@@ -159,3 +159,22 @@ def test_ema_ramp():
     # first update: decay_t = min(0.999, 1/10) = 0.1 -> ema = 0.9*p + 0.1*e
     out = ema_update(e, p, 0.999, jnp.asarray(0))
     np.testing.assert_allclose(np.asarray(out["w"]), 0.9, atol=1e-6)
+
+
+def test_wav_loader_process_sharding(wav_dataset):
+    """Multi-host sharding: processes see disjoint file shards that cover
+    the epoch, with an identical global permutation."""
+    ds = Specs(str(wav_dataset), "train", dummy=False, shuffle_spec=False,
+               num_frames=16, hop_length=64, normalize="noisy")
+    full = WavLoader(ds, batch_size=1, shuffle=True, seed=3, num_workers=1,
+                     drop_last=False)
+    shard0 = WavLoader(ds, batch_size=1, shuffle=True, seed=3, num_workers=1,
+                       drop_last=False, process_index=0, process_count=2)
+    shard1 = WavLoader(ds, batch_size=1, shuffle=True, seed=3, num_workers=1,
+                       drop_last=False, process_index=1, process_count=2)
+    a = [x[0].tobytes() for x, _ in shard0]
+    b = [x[0].tobytes() for x, _ in shard1]
+    all_items = [x[0].tobytes() for x, _ in full]
+    assert not (set(a) & set(b))  # disjoint
+    assert set(a) | set(b) == set(all_items)  # cover the epoch
+    assert len(a) + len(b) == len(all_items)
