@@ -123,10 +123,16 @@ def main():
         items.append((filename, y))
 
     if args.timeit and items:
-        # Compile outside the timed region (one warmup per shape bucket is
-        # handled below for batched mode; single mode shares shapes via pad).
-        _, y0 = items[0]
-        model.enhance(variables, y0, key=key, **sampler_kwargs)
+        # Compile outside the timed region: warm up with the same shape the
+        # timed loop will use (batched mode pads to the first bucket's batch).
+        if args.batch_size <= 1:
+            _, y0 = items[0]
+            model.enhance(variables, y0, key=key, **sampler_kwargs)
+        else:
+            chunk = items[: args.batch_size]
+            maxlen = max(len(y) for _, y in chunk)
+            yb = np.stack([np.pad(y, (0, maxlen - len(y))) for _, y in chunk])
+            model.enhance(variables, yb, key=key, **sampler_kwargs)
 
     total_audio_s, t0 = 0.0, time.time()
     if args.batch_size <= 1:
