@@ -178,3 +178,31 @@ def test_wav_loader_process_sharding(wav_dataset):
     assert not (set(a) & set(b))  # disjoint
     assert set(a) | set(b) == set(all_items)  # cover the epoch
     assert len(a) + len(b) == len(all_items)
+
+
+def test_sharded_inference_matches_single_device():
+    """PC sampling with the utterance batch sharded over the 8-device mesh
+    must produce the sharded-equal results of the unsharded run (XLA
+    propagates the batch sharding through the whole scan)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sgmse_tpu import sampling
+    from sgmse_tpu.sdes import OUVESDE, crandn
+
+    sde = OUVESDE(N=5)
+    y = crandn(jax.random.key(0), (8, 1, 16, 16)) * 0.3
+
+    def fake_score(x, yy, t):
+        return -(x - yy) * 0.5
+
+    sampler = sampling.get_pc_sampler("reverse_diffusion", "ald", sde,
+                                      fake_score, y, snr=0.5)
+    ref, _ = sampler(jax.random.key(1))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    y_sharded = jax.device_put(y, NamedSharding(mesh, P("data")))
+    sampler_sh = sampling.get_pc_sampler("reverse_diffusion", "ald", sde,
+                                         fake_score, y_sharded, snr=0.5)
+    out, _ = sampler_sh(jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
