@@ -1,0 +1,65 @@
+"""Checkpoint policies (C34) and loggers (C35) behavior."""
+import json
+
+import numpy as np
+import pytest
+
+from sgmse_tpu.checkpoint import (CheckpointPolicies, load_checkpoint,
+                                  save_checkpoint)
+from sgmse_tpu.utils.loggers import CSVLogger, make_logger
+
+STATE = {"step": np.int32(1), "params": {"w": np.ones((2, 2), np.float32)}}
+CONFIG = {"backbone": "ncsnpp", "sde": "ouve"}
+
+
+def test_save_load_roundtrip(tmp_path):
+    save_checkpoint(tmp_path / "ck", STATE, CONFIG)
+    state, config = load_checkpoint(tmp_path / "ck")
+    assert config == CONFIG
+    np.testing.assert_array_equal(state["params"]["w"], STATE["params"]["w"])
+
+
+def test_interval_checkpoints(tmp_path):
+    pol = CheckpointPolicies(tmp_path, save_ckpt_interval=10, monitor_metrics=False)
+    for step in (1, 5, 10, 15, 20):
+        pol.on_train_step(step, STATE, CONFIG)
+    assert (tmp_path / "step_10").exists()
+    assert (tmp_path / "step_20").exists()
+    assert not (tmp_path / "step_5").exists()
+
+
+def test_best_metric_checkpoints(tmp_path):
+    pol = CheckpointPolicies(tmp_path, save_ckpt_interval=0, monitor_metrics=True)
+    pol.on_validation(1, STATE, CONFIG, {"pesq": 2.0, "si_sdr": 10.0})
+    assert (tmp_path / "last").exists()
+    assert (tmp_path / "best_pesq").exists() and (tmp_path / "best_si_sdr").exists()
+    # Worse metrics must not overwrite; NaN must be ignored.
+    s2 = dict(STATE, step=np.int32(2))
+    pol.on_validation(2, s2, CONFIG, {"pesq": 1.5, "si_sdr": float("nan")})
+    state, _ = load_checkpoint(tmp_path / "best_pesq")
+    assert int(state["step"]) == 1
+    # Better PESQ overwrites best_pesq only.
+    pol.on_validation(3, dict(STATE, step=np.int32(3)), CONFIG,
+                      {"pesq": 2.5, "si_sdr": 5.0})
+    state, _ = load_checkpoint(tmp_path / "best_pesq")
+    assert int(state["step"]) == 3
+    state, _ = load_checkpoint(tmp_path / "best_si_sdr")
+    assert int(state["step"]) == 1
+
+
+def test_csv_logger_schema_evolution(tmp_path):
+    lg = CSVLogger(tmp_path)
+    lg.log_metrics({"train_loss": 1.0}, step=1)
+    lg.log_metrics({"train_loss": 0.5, "pesq": 2.0}, step=2)  # new column
+    rows = [json.loads(l) for l in open(lg.log_dir / "metrics.jsonl")]
+    assert rows[0]["train_loss"] == 1.0 and rows[1]["pesq"] == 2.0
+    header = open(lg.log_dir / "metrics.csv").readline().strip().split(",")
+    assert "pesq" in header and "train_loss" in header
+    lg.log_hparams({"lr": 1e-4})
+    assert json.load(open(lg.log_dir / "hparams.json"))["lr"] == 1e-4
+
+
+def test_make_logger_fallback(tmp_path):
+    lg = make_logger(nolog=True, log_dir=tmp_path)
+    assert isinstance(lg, CSVLogger)
+    assert lg.version.startswith("version_")
