@@ -52,7 +52,17 @@ def load_checkpoint(path: os.PathLike, target: Optional[Any] = None
     if target is not None:
         state = ckptr.restore(str(path), target)
     else:
-        state = ckptr.restore(str(path))
+        # Target-less restore is how load_score_model rebuilds from config
+        # alone (the topology comes from the embedded config, so orbax's
+        # "UNSAFE without a target tree" caution does not apply); silence it.
+        import logging
+        absl_logger = logging.getLogger("absl")
+        prev = absl_logger.level
+        absl_logger.setLevel(logging.ERROR)
+        try:
+            state = ckptr.restore(str(path))
+        finally:
+            absl_logger.setLevel(prev)
     return state, config
 
 

@@ -305,14 +305,40 @@ class ScoreModel:
         return self.spec.spec_to_wav(spec, length=length)
 
     # --- samplers (reference model.py:348-397) ---------------------------------------
+    # Jitted sampler programs are cached per (sampler config, params identity):
+    # building a fresh closure per enhance() call would retrace — and, on
+    # backends without a warm executable cache, fully recompile — the whole
+    # N-step program for every utterance batch.
+    def _cached_program(self, cache_key, variables, build):
+        cache = getattr(self, "_program_cache", None)
+        if cache is None:
+            cache = self._program_cache = {}
+        entry = cache.get(cache_key)
+        if entry is not None and entry[0] is variables:
+            return entry[1]
+        program = build()
+        cache[cache_key] = (variables, program)
+        return program
+
     def get_pc_sampler(self, predictor_name, corrector_name, variables, y,
                        N: Optional[int] = None, minibatch: Optional[int] = None, **kwargs):
         sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
-        kwargs = {"eps": self.t_eps, **kwargs}
-        score = self.score_fn(variables)
+        kw = {"eps": self.t_eps,
+              **{k: v for k, v in kwargs.items()
+                 if k in ("denoise", "eps", "snr", "corrector_steps",
+                          "probability_flow")}}
+        cache_key = ("pc", predictor_name, corrector_name, sde,
+                     tuple(sorted(kw.items())))
+        program, nfe = self._cached_program(
+            cache_key, variables,
+            lambda: sampling.pc_sampler_program(
+                predictor_name, corrector_name, sde,
+                self.score_fn(variables), **kw))
+
         if minibatch is None:
-            return sampling.get_pc_sampler(predictor_name, corrector_name, sde=sde,
-                                           score_fn=score, y=y, **kwargs)
+            def sample(key):
+                return program(key, y), nfe
+            return sample
         else:
             m = y.shape[0]
 
@@ -321,12 +347,8 @@ class ScoreModel:
                 for i in range(int(math.ceil(m / minibatch))):
                     key, sub = jax.random.split(key)
                     y_mini = y[i * minibatch:(i + 1) * minibatch]
-                    sampler = sampling.get_pc_sampler(
-                        predictor_name, corrector_name, sde=sde, score_fn=score,
-                        y=y_mini, **kwargs)
-                    sample, n = sampler(sub)
-                    samples.append(sample)
-                    ns.append(n)
+                    samples.append(program(sub, y_mini))
+                    ns.append(nfe)
                 return jnp.concatenate(samples, axis=0), ns
 
             return batched_sampling_fn
@@ -334,10 +356,20 @@ class ScoreModel:
     def get_ode_sampler(self, variables, y, N: Optional[int] = None,
                         minibatch: Optional[int] = None, **kwargs):
         sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
-        kwargs = {"eps": self.t_eps, **kwargs}
-        score = self.score_fn(variables)
+        kw = {"eps": self.t_eps,
+              **{k: v for k, v in kwargs.items()
+                 if k in ("denoise", "eps", "method", "rtol", "atol",
+                          "max_steps")}}
+        cache_key = ("ode", sde, tuple(sorted(kw.items())))
+        program = self._cached_program(
+            cache_key, variables,
+            lambda: sampling.ode_sampler_program(
+                sde, self.score_fn(variables), N=sde.N, **kw))
+
         if minibatch is None:
-            return sampling.get_ode_sampler(sde, score, y=y, **kwargs)
+            def sample(key):
+                return program(key, y)
+            return sample
         else:
             m = y.shape[0]
 
@@ -346,8 +378,7 @@ class ScoreModel:
                 for i in range(int(math.ceil(m / minibatch))):
                     key, sub = jax.random.split(key)
                     y_mini = y[i * minibatch:(i + 1) * minibatch]
-                    sampler = sampling.get_ode_sampler(sde, score, y=y_mini, **kwargs)
-                    sample, n = sampler(sub)
+                    sample, n = program(sub, y_mini)
                     samples.append(sample)
                     ns.append(n)
                 return jnp.concatenate(samples, axis=0), ns
@@ -357,9 +388,17 @@ class ScoreModel:
     def get_sb_sampler(self, variables, y, sampler_type: str = "ode",
                        N: Optional[int] = None, **kwargs):
         sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
-        model_fn = self.score_fn(variables)  # data-prediction mode forward
-        return sampling.get_sb_sampler(sde, model_fn, y=y, sampler_type=sampler_type,
-                                       **kwargs)
+        kw = {k: v for k, v in kwargs.items() if k in ("eps",)}
+        cache_key = ("sb", sde, sampler_type, tuple(sorted(kw.items())))
+        program, nfe = self._cached_program(
+            cache_key, variables,
+            lambda: sampling.sb_sampler_program(
+                sde, self.score_fn(variables), sampler_type=sampler_type, **kw))
+
+        def sample(key):
+            return program(key, y), nfe
+
+        return sample
 
     # --- one-call enhancement (reference model.py:426-465) ---------------------------
     def enhance_long(self, variables, y_wav, chunk_seconds: float = 20.0,

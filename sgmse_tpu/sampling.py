@@ -138,25 +138,23 @@ def none_corrector(sde: SDE, score_fn, snr: float, n_steps: int):
 # Predictor-Corrector sampler: one lax.scan over N steps
 # ---------------------------------------------------------------------------------------
 
-def get_pc_sampler(
+def pc_sampler_program(
     predictor_name: str,
     corrector_name: str,
     sde: SDE,
     score_fn: Callable,
-    y: jnp.ndarray,
     denoise: bool = True,
     eps: float = 3e-2,
     snr: float = 0.1,
     corrector_steps: int = 1,
     probability_flow: bool = False,
-    intermediate: bool = False,
-    **ignored_kwargs,
-):
-    """Predictor-Corrector sampler factory (API parity: sampling/__init__.py:26-70).
+) -> Tuple[Callable, int]:
+    """Build the jitted PC program ``sampler(key, y) -> sample`` plus its NFE.
 
-    Returns ``sampler(key) -> (sample, nfe)``. The whole N-step trajectory is a
-    single jitted lax.scan; `nfe` is the static NFE count N*(corrector_steps+1)
-    for non-'none' correctors (reference line 67).
+    Separate from :func:`get_pc_sampler` so callers (ScoreModel) can CACHE the
+    jitted program and rebind it to new inputs of the same shape — a fresh
+    closure per call would force a retrace (and on backends without a
+    populated compile cache, a full recompile) for every utterance batch.
     """
     predictor = PredictorRegistry.get_by_name(predictor_name)(
         sde, score_fn, probability_flow=probability_flow)
@@ -194,6 +192,32 @@ def get_pc_sampler(
         return xt_mean if denoise else xt
 
     nfe = n * (actual_corrector_steps + 1)
+    return sampler, nfe
+
+
+def get_pc_sampler(
+    predictor_name: str,
+    corrector_name: str,
+    sde: SDE,
+    score_fn: Callable,
+    y: jnp.ndarray,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    snr: float = 0.1,
+    corrector_steps: int = 1,
+    probability_flow: bool = False,
+    intermediate: bool = False,
+    **ignored_kwargs,
+):
+    """Predictor-Corrector sampler factory (API parity: sampling/__init__.py:26-70).
+
+    Returns ``sampler(key) -> (sample, nfe)``. The whole N-step trajectory is a
+    single jitted lax.scan; `nfe` is the static NFE count N*(corrector_steps+1)
+    for non-'none' correctors (reference line 67).
+    """
+    sampler, nfe = pc_sampler_program(
+        predictor_name, corrector_name, sde, score_fn, denoise=denoise, eps=eps,
+        snr=snr, corrector_steps=corrector_steps, probability_flow=probability_flow)
 
     def sample(key):
         return sampler(key, y), nfe
@@ -220,10 +244,9 @@ _DP_B4 = (5179.0 / 57600, 0.0, 7571.0 / 16695, 393.0 / 640, -92097.0 / 339200,
           187.0 / 2100, 1.0 / 40)
 
 
-def get_ode_sampler(
+def ode_sampler_program(
     sde: SDE,
     score_fn: Callable,
-    y: jnp.ndarray,
     denoise: bool = True,
     eps: float = 3e-2,
     N: Optional[int] = None,
@@ -231,7 +254,6 @@ def get_ode_sampler(
     rtol: float = 1e-5,
     atol: float = 1e-5,
     max_steps: int = 1000,
-    **ignored_kwargs,
 ):
     """Probability-flow ODE sampler, fully on device.
 
@@ -336,16 +358,42 @@ def get_ode_sampler(
         return x
 
     if method == "rk45":
-        def sample(key):
+        def program(key, y):
             x, nfe = rk45_sampler(key, y)
             return x, int(nfe)
+        return program
     elif method == "rk4":
         nfe_static = 4 * n + (1 if denoise else 0)
 
-        def sample(key):
+        def program(key, y):
             return rk4_sampler(key, y), nfe_static
-    else:
-        raise ValueError(f"Unknown ODE method: {method}")
+        return program
+    raise ValueError(f"Unknown ODE method: {method}")
+
+
+def get_ode_sampler(
+    sde: SDE,
+    score_fn: Callable,
+    y: jnp.ndarray,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    N: Optional[int] = None,
+    method: str = "rk45",
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    max_steps: int = 1000,
+    **ignored_kwargs,
+):
+    """Probability-flow ODE sampler factory: ``sampler(key) -> (sample, nfe)``.
+
+    See :func:`ode_sampler_program` for the method semantics; this binds `y`.
+    """
+    program = ode_sampler_program(sde, score_fn, denoise=denoise, eps=eps, N=N,
+                                  method=method, rtol=rtol, atol=atol,
+                                  max_steps=max_steps)
+
+    def sample(key):
+        return program(key, y)
 
     return sample
 
@@ -354,31 +402,30 @@ def get_ode_sampler(
 # Schroedinger-bridge samplers (reference sampling/__init__.py:145-249)
 # ---------------------------------------------------------------------------------------
 
-def get_sb_sampler(
+def sb_sampler_program(
     sde: SBVESDE,
     model_fn: Callable,
-    y: jnp.ndarray,
     eps: float = 1e-4,
     sampler_type: str = "ode",
-    **ignored_kwargs,
-):
-    """First-order SB samplers (SDE and ODE variants), one lax.scan each.
+) -> Tuple[Callable, int]:
+    """Build the jitted SB program ``sampler(key, y) -> sample`` plus its NFE.
 
     ``model_fn(x, y, t)`` is called in data-prediction mode (returns x_hat).
-    ``xt`` starts at ``y`` exactly (reference lines 150, 198).
+    ``xt`` starts at ``y`` exactly (reference lines 150, 198). Cacheable by
+    callers; `y` is a runtime argument (see :func:`pc_sampler_program`).
     """
     n = sde.N
     time_steps = jnp.linspace(sde.T, eps, n + 1)
 
-    def tables(t_scalar):
-        vec = jnp.ones((y.shape[0],), dtype=jnp.float32) * t_scalar
+    def tables(t_scalar, batch):
+        vec = jnp.ones((batch,), dtype=jnp.float32) * t_scalar
         return vec, sde.sigmas_alphas(vec)
 
     @jax.jit
     def sde_sampler(key, y):
         xt = y[:, :1, :, :]  # special case for multi-channel inputs (reference line 150)
         _, (sigma_prev, sigma_T, sigma_bar_prev, alpha_prev, alpha_T, alpha_bar_prev) = \
-            tables(time_steps[0])
+            tables(time_steps[0], y.shape[0])
 
         def step(carry, inp):
             xt, alpha_prev, sigma_prev, sigma_bar_prev, k = carry
@@ -409,7 +456,7 @@ def get_sb_sampler(
         del key
         xt = y
         _, (sigma_prev, sigma_T, sigma_bar_prev, alpha_prev, alpha_T, alpha_bar_prev) = \
-            tables(time_steps[0])
+            tables(time_steps[0], y.shape[0])
 
         def step(carry, t):
             xt, alpha_prev, sigma_prev, sigma_bar_prev = carry
@@ -436,13 +483,25 @@ def get_sb_sampler(
         return xt
 
     if sampler_type == "sde":
-        inner = sde_sampler
+        return sde_sampler, n
     elif sampler_type == "ode":
-        inner = ode_sampler
-    else:
-        raise ValueError("Invalid type. Choose 'ode' or 'sde'.")
+        return ode_sampler, n
+    raise ValueError("Invalid type. Choose 'ode' or 'sde'.")
+
+
+def get_sb_sampler(
+    sde: SBVESDE,
+    model_fn: Callable,
+    y: jnp.ndarray,
+    eps: float = 1e-4,
+    sampler_type: str = "ode",
+    **ignored_kwargs,
+):
+    """First-order SB sampler factory: ``sampler(key) -> (sample, nfe)``."""
+    program, nfe = sb_sampler_program(sde, model_fn, eps=eps,
+                                      sampler_type=sampler_type)
 
     def sample(key):
-        return inner(key, y), n
+        return program(key, y), nfe
 
     return sample

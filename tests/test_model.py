@@ -159,3 +159,29 @@ def test_enhance_long_chunked_ola(model_and_params):
                            key=jax.random.key(1), N=2)
     b = model.enhance(variables, y_short, key=jax.random.key(1), N=2)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_sampler_program_cache(model_and_params):
+    """Repeated sampler construction reuses the compiled program (no retrace
+    per enhance call; the journey drive showed per-call recompiles cost ~60s
+    on the TPU tunnel)."""
+    model, variables = model_and_params
+    model._program_cache = {}
+    y = crandn(jax.random.key(0), (1, 1, 64, 64)) * 0.1
+    s1 = model.get_pc_sampler("reverse_diffusion", "ald", variables, y,
+                              N=3, snr=0.5)
+    s1(jax.random.key(1))
+    assert len(model._program_cache) == 1
+    y2 = crandn(jax.random.key(2), (2, 1, 64, 64)) * 0.1  # new batch size: same program
+    s2 = model.get_pc_sampler("reverse_diffusion", "ald", variables, y2,
+                              N=3, snr=0.5)
+    s2(jax.random.key(3))
+    assert len(model._program_cache) == 1
+    # Different sampler settings -> a separate cache entry.
+    s3 = model.get_pc_sampler("reverse_diffusion", "ald", variables, y,
+                              N=5, snr=0.5)
+    assert len(model._program_cache) == 2
+    # New params object -> entry rebuilt in place (same key).
+    variables2 = jax.tree.map(lambda a: a + 0.0, variables)
+    model.get_pc_sampler("reverse_diffusion", "ald", variables2, y, N=3, snr=0.5)
+    assert len(model._program_cache) == 2
