@@ -100,3 +100,32 @@ def test_create_wsj0_chime3_script(tmp_path):
         clean = glob(str(target / split / "clean" / "*.wav"))
         noisy = glob(str(target / split / "noisy" / "*.wav"))
         assert len(clean) == 1 and len(noisy) == 1, (split, clean, noisy)
+
+
+def test_create_wsj0_qut_script(tmp_path):
+    """Run the WSJ0+QUT mixing CLI on a synthetic layout (named noise files)."""
+    wsj0 = tmp_path / "wsj0/"
+    qut = tmp_path / "qut/"
+    rng = np.random.default_rng(2)
+    for split_dir in ("si_tr_s/401", "si_dt_05/401", "si_et_05/401"):
+        d = wsj0 / split_dir
+        d.mkdir(parents=True)
+        x = (0.3 * np.sin(2 * np.pi * 260 * np.arange(8000) / 16000)).astype(np.float32)
+        write_wav(d / "u0.wav", x, 16000)
+    qd = qut / "noises"
+    qd.mkdir(parents=True)
+    # CAR gets 2 min trimmed from each end -> needs > 4 min of samples.
+    for name, secs in (("CAFE-CAFE-1.wav", 30), ("CAR-WINDOWNB-1.wav", 260),
+                       ("HOME-KITCHEN-1.wav", 30), ("STREET-CITY-1.wav", 30)):
+        write_wav(qd / name,
+                  (0.1 * rng.standard_normal(16000 * secs)).astype(np.float32),
+                  16000)
+    target = tmp_path / "mix"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "preprocessing" / "create_wsj0_qut.py"),
+         str(wsj0) + "/", str(qut) + "/", str(target) + "/"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    for split in ("train", "valid", "test"):
+        assert len(glob(str(target / split / "clean" / "*.wav"))) == 1
+        assert len(glob(str(target / split / "noisy" / "*.wav"))) == 1
