@@ -123,15 +123,27 @@ def main():
         items.append((filename, y))
 
     if args.timeit and items:
-        # Compile outside the timed region: warm up with the same shape the
-        # timed loop will use (batched mode pads to the first bucket's batch).
+        # Compile outside the timed region, with exactly the shape the timed
+        # loop will use first. With --chunk_seconds, warm up ONE chunk-sized
+        # segment (never the full waveform — the whole point of chunking is
+        # to avoid compiling/running the unbounded-length program).
         if args.batch_size <= 1:
             _, y0 = items[0]
-            model.enhance(variables, y0, key=key, **sampler_kwargs)
+            if args.chunk_seconds is not None:
+                seg = y0[: int(args.chunk_seconds * target_sr)]
+                model.enhance(variables, seg, key=key, **sampler_kwargs)
+            else:
+                model.enhance(variables, y0, key=key, **sampler_kwargs)
         else:
-            chunk = items[: args.batch_size]
-            maxlen = max(len(y) for _, y in chunk)
-            yb = np.stack([np.pad(y, (0, maxlen - len(y))) for _, y in chunk])
+            hop = model.spec.hop_length
+            buckets_warm = {}
+            for filename, y in items:
+                frames = 1 + len(y) // hop
+                buckets_warm.setdefault(-(-frames // 64) * 64, []).append(y)
+            first = sorted(buckets_warm)[0]
+            chunk = buckets_warm[first][: args.batch_size]
+            maxlen = max(len(y) for y in chunk)
+            yb = np.stack([np.pad(y, (0, maxlen - len(y))) for y in chunk])
             model.enhance(variables, yb, key=key, **sampler_kwargs)
 
     total_audio_s, t0 = 0.0, time.time()

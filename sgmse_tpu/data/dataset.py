@@ -125,6 +125,8 @@ class WavLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.process_count is not None and self.process_count > 1:
+            n = -(-n // self.process_count)  # per-process shard size (padded)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -135,7 +137,15 @@ class WavLoader:
         self._epoch += 1
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         if self.process_count is not None and self.process_count > 1:
-            order = order[self.process_index::self.process_count]
+            # Equal shard sizes are REQUIRED: the SPMD train step runs
+            # global-mesh collectives, so a process with one batch more than
+            # its peers would deadlock the job (DistributedSampler-style
+            # wrap-around padding to ceil(n / world) per process).
+            world = self.process_count
+            per = -(-len(order) // world)
+            padded = np.concatenate([order, order[: per * world - len(order)]])
+            order = padded[self.process_index::world]
+            assert len(order) == per
         if self.drop_last:
             order = order[: (len(order) // self.batch_size) * self.batch_size]
 

@@ -120,17 +120,15 @@ def read_wav_native(path) -> Optional[Tuple[np.ndarray, int]]:
     out_len = ctypes.c_long(0)
     out_sr = ctypes.c_int(0)
     err = ctypes.create_string_buffer(1024)
-    # First call to get the length, second to fetch samples.
-    rc = lib.sgmse_read_wav(os.fsencode(str(path)), None, 0,
-                            ctypes.byref(out_len), ctypes.byref(out_sr),
-                            err, len(err))
-    if rc != 0:
-        raise RuntimeError(f"native wav read failed: {err.value.decode()}")
-    buf = np.zeros((out_len.value,), dtype=np.float32)
+    # One decode pass: the file size in bytes upper-bounds the sample count
+    # (>= 1 byte per mono sample for every supported encoding), so allocate
+    # once and trim instead of decoding twice for the length.
+    max_len = max(os.path.getsize(path), 1)
+    buf = np.zeros((max_len,), dtype=np.float32)
     rc = lib.sgmse_read_wav(os.fsencode(str(path)),
                             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                            out_len.value, ctypes.byref(out_len),
+                            max_len, ctypes.byref(out_len),
                             ctypes.byref(out_sr), err, len(err))
     if rc != 0:
         raise RuntimeError(f"native wav read failed: {err.value.decode()}")
-    return buf, out_sr.value
+    return buf[: out_len.value].copy(), out_sr.value

@@ -464,7 +464,10 @@ class ScoreModel:
         if squeeze:
             y_wav = y_wav[None]
         t_orig = y_wav.shape[-1]
-        norm_factor = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+        # Floor like the training normalization (data/dataset.py): an all-zero
+        # input (silent chunk from enhance_long) must not divide by zero.
+        norm_factor = jnp.maximum(
+            jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True), 1e-10)
         y_norm = y_wav / norm_factor
         Y = self.spec.wav_to_spec(y_norm)[:, None]  # (B, 1, F, T)
         Y = pad_spec(Y, mode=pad_mode)

@@ -182,7 +182,9 @@ def pc_sampler_program(
             x, _ = predictor(x, y, vec_t, dt, kp)
             return (x, k), None
 
-        (xt, _), _ = jax.lax.scan(step, (xt, key), (timesteps[:-1], stepsizes[:-1]))
+        # Keep the carried key: re-splitting the pre-scan key here would
+        # reuse the first scan step's noise keys bit-for-bit.
+        (xt, key), _ = jax.lax.scan(step, (xt, key), (timesteps[:-1], stepsizes[:-1]))
 
         # Final step separately so we can keep x_mean for denoising.
         vec_t = jnp.ones((batch,), dtype=jnp.float32) * timesteps[-1]

@@ -206,3 +206,17 @@ def test_sharded_inference_matches_single_device():
                                          fake_score, y_sharded, snr=0.5)
     out, _ = sampler_sh(jax.random.key(1))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_wav_loader_shards_equal_length_on_odd_counts(wav_dataset):
+    """Shards must have EQUAL batch counts (wrap-around padding): unequal
+    counts would deadlock the SPMD collectives at epoch end."""
+    ds = Specs(str(wav_dataset), "train", dummy=False, shuffle_spec=False,
+               num_frames=16, hop_length=64, normalize="noisy")
+    # 8 files over 3 processes -> ceil(8/3) = 3 each (one index repeated).
+    loaders = [WavLoader(ds, batch_size=1, shuffle=True, seed=5, num_workers=1,
+                         drop_last=False, process_index=i, process_count=3)
+               for i in range(3)]
+    counts = [len(list(l)) for l in loaders]
+    assert counts == [3, 3, 3]
+    assert all(len(l) == 3 for l in loaders)
