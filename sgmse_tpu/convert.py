@@ -403,3 +403,26 @@ def convert_lightning_checkpoint(ckpt_path: str, out_path: Optional[str] = None)
 def _is_fourier_w(key: str) -> bool:
     """GFP projection W buffers (requires_grad=False in the reference)."""
     return key.endswith(".W") and ("all_modules.0" in key or "embed.0" in key)
+
+
+def _main():
+    """CLI: python -m sgmse_tpu.convert <lightning.ckpt> <out_dir>
+
+    Converts a published torch Lightning checkpoint into an Orbax checkpoint
+    directory loadable with checkpoint.load_score_model (EMA weights included).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Convert a sp-uhh/sgmse Lightning .ckpt to an Orbax "
+                    "checkpoint for this framework.")
+    parser.add_argument("ckpt", help="Path to the torch Lightning .ckpt file")
+    parser.add_argument("out", help="Output checkpoint directory")
+    args = parser.parse_args()
+    model, _ = convert_lightning_checkpoint(args.ckpt, out_path=args.out)
+    print(f"Converted {args.ckpt} -> {args.out} "
+          f"(backbone={model.backbone}, sde={model.sde_name})")
+
+
+if __name__ == "__main__":
+    _main()

@@ -118,3 +118,44 @@ def test_dcunet_forward_parity():
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got.real, ref.real, atol=5e-4 * scale + 1e-5, rtol=5e-3)
     np.testing.assert_allclose(got.imag, ref.imag, atol=5e-4 * scale + 1e-5, rtol=5e-3)
+
+
+def test_convert_lightning_checkpoint_end_to_end(tmp_path):
+    """Fake Lightning .ckpt (hparams + state_dict + torch_ema 'ema' key) ->
+    convert CLI -> load_score_model -> enhance. The full published-checkpoint
+    user path (reference enhancement.py:34)."""
+    import subprocess
+
+    from sgmse.backbones.ncsnpp import NCSNpp as TorchNCSNpp
+
+    torch.manual_seed(0)
+    m = TorchNCSNpp(**SMALL_CFG)
+    sd = {f"dnn.{k}": v for k, v in m.state_dict().items()}
+    trainable = [k for k, v in m.named_parameters() if v.requires_grad]
+    # EMA shadows = trainable params perturbed, in named_parameters order.
+    shadow = [m.state_dict()[k] * 0.5 for k in trainable]
+    hparams = dict(backbone="ncsnpp", sde="ouve", t_eps=0.03, lr=1e-4,
+                   n_fft=126, hop_length=32, num_frames=64, **SMALL_CFG)
+    ckpt = dict(state_dict=sd, hyper_parameters=hparams, global_step=1234,
+                ema={"shadow_params": shadow, "decay": 0.999,
+                     "num_updates": 1234})
+    ckpt_path = tmp_path / "fake.ckpt"
+    torch.save(ckpt, ckpt_path)
+
+    out = tmp_path / "converted"
+    res = subprocess.run(
+        [sys.executable, "-m", "sgmse_tpu.convert", str(ckpt_path), str(out)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    from sgmse_tpu.checkpoint import load_score_model
+    model, variables = load_score_model(out)
+    assert model.backbone == "ncsnpp" and model.spec.n_fft == 126
+    # EMA weights (0.5x) must be what load_score_model returns.
+    w_t = sd["dnn.all_modules.1.weight"].numpy()
+    w_j = np.asarray(variables["params"]["temb_dense0"]["Dense_0"]["kernel"])
+    np.testing.assert_allclose(w_j, 0.5 * w_t.T, atol=1e-6)
+    x_hat = model.enhance(variables, np.random.default_rng(0)
+                          .standard_normal(3000).astype(np.float32) * 0.1,
+                          key=jax.random.key(0), N=2)
+    assert x_hat.shape == (3000,) and np.all(np.isfinite(x_hat))
