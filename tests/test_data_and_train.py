@@ -238,3 +238,32 @@ def test_evaluate_model_batched(wav_dataset, tiny_model_and_params=None):
     # estoi is NaN on these 0.25 s fixtures (STOI needs longer signals);
     # si_sdr must be finite.
     assert np.isfinite(metrics["si_sdr"])
+
+
+def test_specs_reverb_format(tmp_path):
+    """format='reverb' reads {anechoic, reverb} directories (WSJ0-REVERB
+    layout, reference data_module.py:28-44)."""
+    rng = np.random.default_rng(0)
+    for kind in ("anechoic", "reverb"):
+        (tmp_path / "train" / kind).mkdir(parents=True)
+        for i in range(2):
+            write_wav(tmp_path / "train" / kind / f"u{i}.wav",
+                      (0.1 * rng.standard_normal(4000)).astype(np.float32), SR)
+    ds = Specs(str(tmp_path), "train", dummy=False, shuffle_spec=False,
+               num_frames=16, hop_length=64, format="reverb", normalize="noisy")
+    assert len(ds) == 2
+    x, y = ds.load_pair(0)
+    assert x.shape == y.shape == (ds.target_len,)
+
+
+def test_specs_dummy_mode(tmp_path):
+    """--dummy shrinks the dataset 200x (reference data_module.py:96-100)."""
+    (tmp_path / "train" / "clean").mkdir(parents=True)
+    (tmp_path / "train" / "noisy").mkdir(parents=True)
+    for i in range(3):
+        x = np.zeros(1000, np.float32)
+        write_wav(tmp_path / "train" / "clean" / f"u{i}.wav", x, SR)
+        write_wav(tmp_path / "train" / "noisy" / f"u{i}.wav", x, SR)
+    ds = Specs(str(tmp_path), "train", dummy=True, shuffle_spec=False,
+               num_frames=16, hop_length=64)
+    assert len(ds) == int(3 / 200)  # 0 — same floor semantics as the reference
