@@ -148,6 +148,7 @@ def pc_sampler_program(
     snr: float = 0.1,
     corrector_steps: int = 1,
     probability_flow: bool = False,
+    unroll: int = 1,
 ) -> Tuple[Callable, int]:
     """Build the jitted PC program ``sampler(key, y) -> sample`` plus its NFE.
 
@@ -184,7 +185,8 @@ def pc_sampler_program(
 
         # Keep the carried key: re-splitting the pre-scan key here would
         # reuse the first scan step's noise keys bit-for-bit.
-        (xt, key), _ = jax.lax.scan(step, (xt, key), (timesteps[:-1], stepsizes[:-1]))
+        (xt, key), _ = jax.lax.scan(step, (xt, key), (timesteps[:-1], stepsizes[:-1]),
+                                    unroll=unroll)
 
         # Final step separately so we can keep x_mean for denoising.
         vec_t = jnp.ones((batch,), dtype=jnp.float32) * timesteps[-1]
