@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import warnings
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -113,6 +114,17 @@ class CheckpointPolicies:
             return
         for name, key in (("pesq", "pesq"), ("si_sdr", "si_sdr")):
             value = metrics.get(key)
-            if value is not None and np.isfinite(value) and value > self.best[name]:
+            if value is not None and not np.isfinite(value):
+                # A silent skip here means best_<name>/ never materializes and
+                # the user never learns why (e.g. PESQ metric unavailable).
+                if not getattr(self, f"_warned_{name}", False):
+                    setattr(self, f"_warned_{name}", True)
+                    warnings.warn(
+                        f"validation metric '{key}' is non-finite ({value}); "
+                        f"the best_{name} checkpoint policy will not fire. "
+                        "If this is PESQ, the P.862 scorer may be unavailable "
+                        "(see sgmse_tpu/utils/metrics.py pesq_wb).")
+                continue
+            if value is not None and value > self.best[name]:
                 self.best[name] = value
                 save_checkpoint(self.log_dir / f"best_{name}", state_tree, config)

@@ -326,7 +326,7 @@ class ScoreModel:
         kw = {"eps": self.t_eps,
               **{k: v for k, v in kwargs.items()
                  if k in ("denoise", "eps", "snr", "corrector_steps",
-                          "probability_flow")}}
+                          "probability_flow", "intermediate")}}
         cache_key = ("pc", predictor_name, corrector_name, sde,
                      tuple(sorted(kw.items())))
         program, nfe = self._cached_program(
@@ -343,12 +343,20 @@ class ScoreModel:
             m = y.shape[0]
 
             def batched_sampling_fn(key):
-                samples, ns = [], []
+                samples, trajs, ns = [], [], []
                 for i in range(int(math.ceil(m / minibatch))):
                     key, sub = jax.random.split(key)
                     y_mini = y[i * minibatch:(i + 1) * minibatch]
-                    samples.append(program(sub, y_mini))
+                    out = program(sub, y_mini)
+                    if kw.get("intermediate"):
+                        samples.append(out[0])
+                        trajs.append(out[1])
+                    else:
+                        samples.append(out)
                     ns.append(nfe)
+                if kw.get("intermediate"):
+                    return (jnp.concatenate(samples, axis=0),
+                            jnp.concatenate(trajs, axis=1)), ns
                 return jnp.concatenate(samples, axis=0), ns
 
             return batched_sampling_fn
@@ -413,7 +421,10 @@ class ScoreModel:
         all chunks), and overlap-adds. Bounded memory at any length.
         """
         if key is None:
-            key = jax.random.key(int(time.time() * 1e6) % (2**31))
+            # Deterministic default: explicit-key reproducibility is the
+            # framework stance (docs/DESIGN.md §2) — repeated calls with
+            # key=None produce identical output. Pass a key to vary noise.
+            key = jax.random.key(0)
         y_wav = np.asarray(y_wav)
         assert y_wav.ndim == 1, "enhance_long operates on single utterances"
         sr = self.sr
@@ -457,7 +468,9 @@ class ScoreModel:
         transform + iSTFT -> un-normalize.
         """
         if key is None:
-            key = jax.random.key(int(time.time() * 1e6) % (2**31))
+            # Deterministic default (see enhance_long): key=None always means
+            # jax.random.key(0), never a wall-clock seed.
+            key = jax.random.key(0)
         start = time.time()
         y_wav = jnp.asarray(y_wav)
         squeeze = y_wav.ndim == 1

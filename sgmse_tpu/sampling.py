@@ -148,9 +148,16 @@ def pc_sampler_program(
     snr: float = 0.1,
     corrector_steps: int = 1,
     probability_flow: bool = False,
+    intermediate: bool = False,
     unroll: int = 1,
 ) -> Tuple[Callable, int]:
     """Build the jitted PC program ``sampler(key, y) -> sample`` plus its NFE.
+
+    With ``intermediate=True`` the program returns ``(sample, trajectory)``
+    where trajectory has shape ``(N, *sample.shape)`` — the state after each
+    of the N predictor steps (final entry == the pre-denoise sample). The
+    reference accepts this flag but ignores it (sampling/__init__.py:28);
+    here it is implemented via the scan's per-step outputs.
 
     Separate from :func:`get_pc_sampler` so callers (ScoreModel) can CACHE the
     jitted program and rebind it to new inputs of the same shape — a fresh
@@ -181,19 +188,23 @@ def pc_sampler_program(
             k, kc, kp = jax.random.split(k, 3)
             x, _ = corrector(x, y, vec_t, kc)
             x, _ = predictor(x, y, vec_t, dt, kp)
-            return (x, k), None
+            return (x, k), (x if intermediate else None)
 
         # Keep the carried key: re-splitting the pre-scan key here would
         # reuse the first scan step's noise keys bit-for-bit.
-        (xt, key), _ = jax.lax.scan(step, (xt, key), (timesteps[:-1], stepsizes[:-1]),
-                                    unroll=unroll)
+        (xt, key), traj = jax.lax.scan(step, (xt, key),
+                                       (timesteps[:-1], stepsizes[:-1]),
+                                       unroll=unroll)
 
         # Final step separately so we can keep x_mean for denoising.
         vec_t = jnp.ones((batch,), dtype=jnp.float32) * timesteps[-1]
         key, kc, kp = jax.random.split(key, 3)
         xt, xt_mean = corrector(xt, y, vec_t, kc)
         xt, xt_mean = predictor(xt, y, vec_t, stepsizes[-1], kp)
-        return xt_mean if denoise else xt
+        result = xt_mean if denoise else xt
+        if intermediate:
+            return result, jnp.concatenate([traj, xt[None]], axis=0)
+        return result
 
     nfe = n * (actual_corrector_steps + 1)
     return sampler, nfe
@@ -217,11 +228,13 @@ def get_pc_sampler(
 
     Returns ``sampler(key) -> (sample, nfe)``. The whole N-step trajectory is a
     single jitted lax.scan; `nfe` is the static NFE count N*(corrector_steps+1)
-    for non-'none' correctors (reference line 67).
+    for non-'none' correctors (reference line 67). With ``intermediate=True``
+    returns ``((sample, trajectory), nfe)`` — see :func:`pc_sampler_program`.
     """
     sampler, nfe = pc_sampler_program(
         predictor_name, corrector_name, sde, score_fn, denoise=denoise, eps=eps,
-        snr=snr, corrector_steps=corrector_steps, probability_flow=probability_flow)
+        snr=snr, corrector_steps=corrector_steps, probability_flow=probability_flow,
+        intermediate=intermediate)
 
     def sample(key):
         return sampler(key, y), nfe

@@ -63,3 +63,24 @@ def test_make_logger_fallback(tmp_path):
     lg = make_logger(nolog=True, log_dir=tmp_path)
     assert isinstance(lg, CSVLogger)
     assert lg.version.startswith("version_")
+
+
+def test_nan_metric_warns_once_and_policy_skips(tmp_path):
+    """A non-finite monitored metric must warn loudly (once), not silently skip
+    (VERDICT weak #4: best_pesq never materializing was undiagnosable)."""
+    import warnings as _warnings
+    from sgmse_tpu.checkpoint import CheckpointPolicies
+
+    policy = CheckpointPolicies(tmp_path, save_ckpt_interval=0)
+    state = {"step": np.asarray(0)}
+    config = {"backbone": "ncsnpp"}
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        policy.on_validation(1, state, config,
+                             {"pesq": float("nan"), "si_sdr": 3.0})
+        policy.on_validation(2, state, config,
+                             {"pesq": float("nan"), "si_sdr": 4.0})
+    msgs = [str(w.message) for w in rec if "non-finite" in str(w.message)]
+    assert len(msgs) == 1 and "best_pesq" in msgs[0]
+    assert not (tmp_path / "best_pesq").exists()
+    assert (tmp_path / "best_si_sdr").exists()

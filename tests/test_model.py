@@ -185,3 +185,16 @@ def test_sampler_program_cache(model_and_params):
     variables2 = jax.tree.map(lambda a: a + 0.0, variables)
     model.get_pc_sampler("reverse_diffusion", "ald", variables2, y, N=3, snr=0.5)
     assert len(model._program_cache) == 2
+
+
+def test_enhance_default_key_is_deterministic(model_and_params):
+    """key=None must mean a fixed key, not a wall-clock seed (VERDICT weak #6):
+    the framework's reproducibility stance is explicit keys everywhere."""
+    model, variables = model_and_params
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(2000).astype(np.float32) * 0.1
+    a = model.enhance(variables, y, N=3)
+    b = model.enhance(variables, y, N=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = model.enhance(variables, y, N=3, key=jax.random.key(123))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))

@@ -126,3 +126,22 @@ def test_pc_sampler_batch_consistency():
     s1, _ = sampler(jax.random.key(5))
     s2, _ = sampler(jax.random.key(5))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_pc_sampler_intermediate_returns_trajectory():
+    """intermediate=True returns (sample, trajectory) with the N per-step states.
+
+    The reference accepts this flag but silently ignores it
+    (reference sampling/__init__.py:28); here it is implemented.
+    """
+    sde = OUVESDE(N=8)
+    x0 = crandn(jax.random.key(1), (2, 1, 8, 8)) * 0.3
+    y = x0 + crandn(jax.random.key(2), (2, 1, 8, 8)) * 0.1
+    sampler = sampling.get_pc_sampler(
+        "reverse_diffusion", "ald", sde, _oracle_score(sde, x0), y,
+        denoise=False, intermediate=True)
+    (sample, traj), nfe = sampler(jax.random.key(0))
+    assert traj.shape == (8,) + sample.shape
+    # With denoise=False the returned sample IS the last trajectory state.
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(sample))
+    assert nfe == 16
