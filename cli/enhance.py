@@ -65,7 +65,7 @@ def main():
 
     model, variables = load_score_model(args.ckpt)
     model.t_eps = args.t_eps
-    if args.precision is not None and model.backbone != "dcunet":
+    if args.precision is not None:
         # Rebuild the (stateless) model with the requested compute dtype;
         # parameters are float32 either way.
         from sgmse_tpu.model import ScoreModel

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -130,27 +130,36 @@ DCUNET_ARCHITECTURES = {
 # ---------------------------------------------------------------------------------------
 
 class ComplexConv2d(nn.Module):
-    """Complex conv via two real convs on a batch-stacked [re; im] tensor."""
+    """Complex conv via two real convs on a batch-stacked [re; im] tensor.
+
+    ``dtype`` selects the compute precision of the real convs (the model's
+    FLOP-dominant ops). There is no complex bfloat16, so mixed precision casts
+    the stacked real tensor to ``dtype`` for the conv and recombines to
+    complex64 afterwards; parameters stay float32.
+    """
     out_ch: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
     dilation: Tuple[int, int] = (1, 1)
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b = x.shape[0]
         stacked = jnp.concatenate([x.real, x.imag], axis=0)
+        if self.dtype is not None:
+            stacked = stacked.astype(self.dtype)
         pad = [(self.padding[0],) * 2, (self.padding[1],) * 2]
         conv = partial(nn.Conv, self.out_ch, self.kernel_size, strides=self.strides,
                        padding=pad, kernel_dilation=self.dilation,
-                       use_bias=self.use_bias,
+                       use_bias=self.use_bias, dtype=self.dtype,
                        kernel_init=torch_conv_default_init(),
                        bias_init=torch_conv_bias_init(
                            x.shape[-1] * self.kernel_size[0] * self.kernel_size[1]))
-        f1 = conv(name="re")(stacked)   # f1(re), f1(im)
-        f2 = conv(name="im")(stacked)   # f2(re), f2(im)
+        f1 = conv(name="re")(stacked).astype(jnp.float32)   # f1(re), f1(im)
+        f2 = conv(name="im")(stacked).astype(jnp.float32)   # f2(re), f2(im)
         f1r, f1i = f1[:b], f1[b:]
         f2r, f2i = f2[:b], f2[b:]
         return jax.lax.complex(f1r - f2i, f1i + f2r)
@@ -165,6 +174,7 @@ class ComplexConvTranspose2d(nn.Module):
     output_padding: Tuple[int, int] = (0, 0)
     dilation: Tuple[int, int] = (1, 1)
     use_bias: bool = True
+    dtype: Any = None
 
     def _transposed_real_conv(self, conv_name, stacked, output_padding):
         """Direct-form transposed conv: lhs_dilation + adjusted padding."""
@@ -179,10 +189,14 @@ class ComplexConvTranspose2d(nn.Module):
                        (k[0], k[1], in_ch, self.out_ch))
         # Transposed conv correlates with the flipped kernel.
         wf = jnp.flip(w, axis=(0, 1))
+        if self.dtype is not None:
+            stacked = stacked.astype(self.dtype)
+            wf = wf.astype(self.dtype)
         out = jax.lax.conv_general_dilated(
             stacked, wf, window_strides=(1, 1), padding=pad,
             lhs_dilation=self.strides, rhs_dilation=d,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out.astype(jnp.float32)
         if self.use_bias:
             bias = self.param(f"{conv_name}_bias",
                               torch_conv_bias_init(in_ch * k[0] * k[1]),
@@ -364,12 +378,13 @@ class DCUNetComplexEncoderBlock(nn.Module):
     embed_dim: Optional[int] = None
     temb_layers: int = 1
     temb_activation: str = "silu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, t_embed, train: bool = False):
         y = ComplexConv2d(self.out_ch, self.kernel_size, self.strides, self.padding,
                           self.dilation, use_bias=self.norm_type is None,
-                          name="conv")(x)
+                          dtype=self.dtype, name="conv")(x)
         if self.embed_dim is not None and t_embed is not None:
             y = y + TimeEmbedLayer(self.embed_dim, self.out_ch, self.temb_layers,
                                    self.temb_activation, name="embed_layer")(t_embed)
@@ -390,12 +405,14 @@ class DCUNetComplexDecoderBlock(nn.Module):
     embed_dim: Optional[int] = None
     temb_layers: int = 1
     temb_activation: str = "silu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, t_embed, output_shape=None, train: bool = False):
         y = ComplexConvTranspose2d(self.out_ch, self.kernel_size, self.strides,
                                    self.padding, self.output_padding, self.dilation,
                                    use_bias=self.norm_type is None,
+                                   dtype=self.dtype,
                                    name="deconv")(x, output_shape=output_shape)
         if self.embed_dim is not None and t_embed is not None:
             y = y + TimeEmbedLayer(self.embed_dim, self.out_ch, self.temb_layers,
@@ -423,6 +440,18 @@ class DCUNet(nn.Module):
     dcunet_norm_type: str = "bN"
     dcunet_activation: str = "relu"
     embed_dim: int = 128
+    # Mixed precision: "float32" or "bfloat16". Parameters and norm statistics
+    # (bN running stats, CbN whitening covariance) are always float32; the
+    # compute dtype applies to the complex convs' underlying real convs.
+    precision: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        if self.precision in ("bfloat16", "bf16"):
+            return jnp.bfloat16
+        if self.precision in ("float32", "fp32", "f32"):
+            return None
+        raise ValueError(f"Unknown precision: {self.precision}")
 
     @staticmethod
     def add_argparse_args(parser):
@@ -458,6 +487,9 @@ class DCUNet(nn.Module):
                             type=str, choices=("leaky_relu", "relu", "silu"),
                             default="leaky_relu",
                             help="The activation to use within each encoder and decoder layer.")
+        parser.add_argument("--precision", type=str, default="float32",
+                            choices=("float32", "bfloat16"),
+                            help="Compute dtype for the complex convs (params stay float32).")
         return parser
 
     @property
@@ -525,7 +557,8 @@ class DCUNet(nn.Module):
                       temb_layers=self.dcunet_temb_layers_local,
                       temb_activation=self.dcunet_temb_activation,
                       embed_dim=(self.embed_dim
-                                 if self.dcunet_time_embedding != "none" else None))
+                                 if self.dcunet_time_embedding != "none" else None),
+                      dtype=self.compute_dtype)
 
         # ---- encoder / decoder stacks (reference dcunet.py:278-290) -----------------
         x = x_in
@@ -548,6 +581,7 @@ class DCUNet(nn.Module):
         ic, oc, k, s, p, d = decoders_args[-1][:6]
         out = ComplexConvTranspose2d(
             out_ch=oc, kernel_size=k, strides=s, padding=p, dilation=d,
+            dtype=self.compute_dtype,
             name="output_layer")(x, output_shape=x_in.shape)
 
         # ---- fix output dims back to the input timespan (dcunet.py:329-333) ---------
