@@ -230,18 +230,29 @@ def pesq_available() -> bool:
 
 
 def pesq_wb(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
-    """Wide-band PESQ via the `pesq` package if installed; NaN otherwise.
+    """PESQ MOS-LQO: conformance `pesq` package if installed, else the
+    built-in P.862-structured implementation (`sgmse_tpu.utils.p862`).
 
     Mirrors `pesq.pesq(16000, x, x_hat, 'wb')` calls (reference model.py:247,
-    calc_metrics.py:42).
+    calc_metrics.py:42). The reference hard-depends on the C extension; here
+    the metric is always available, so best-PESQ checkpointing
+    (checkpoint.py) and validation logging work in every environment.
     """
     global _PESQ_WARNED
     try:
         from pesq import pesq as _pesq
+        return float(_pesq(fs, ref, deg, mode))
     except ImportError:
-        if not _PESQ_WARNED:
-            warnings.warn("`pesq` package not installed — PESQ metrics reported as NaN. "
-                          "Install ITU-T P.862 `pesq` for full metric parity.")
-            _PESQ_WARNED = True
-        return float("nan")
-    return float(_pesq(fs, ref, deg, mode))
+        pass
+    if not _PESQ_WARNED:
+        warnings.warn(
+            "`pesq` conformance package not installed — falling back to the "
+            "built-in P.862-structured implementation (sgmse_tpu.utils.p862). "
+            "Scores are rank-faithful with exact identity anchors but not "
+            "ITU-conformance-certified; install `pesq` for certified numbers.")
+        _PESQ_WARNED = True
+    try:
+        from .p862 import pesq as _builtin_pesq
+        return float(_builtin_pesq(fs, ref, deg, mode))
+    except ValueError:
+        return float("nan")  # e.g. signal too short for PESQ

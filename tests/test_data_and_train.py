@@ -267,3 +267,22 @@ def test_specs_dummy_mode(tmp_path):
     ds = Specs(str(tmp_path), "train", dummy=True, shuffle_spec=False,
                num_frames=16, hop_length=64)
     assert len(ds) == int(3 / 200)  # 0 — same floor semantics as the reference
+
+
+def test_best_pesq_policy_fires_with_builtin_metric(wav_dataset, tmp_path):
+    """VERDICT r1 item 3: with the built-in P.862 fallback, in-training
+    validation logs a real PESQ number and best_pesq/ materializes."""
+    model = ScoreModel("ncsnpp", "ouve", **{**TINY, "num_eval_files": 2})
+    dm = SpecsDataModule(base_dir=str(wav_dataset), batch_size=4, n_fft=126,
+                         hop_length=32, num_frames=64, num_workers=0)
+    logger = CSVLogger(tmp_path / "logs")
+    trainer = Trainer(model, dm, logger, log_dir=str(tmp_path / "logs"),
+                      max_steps=1, num_devices=2, log_every_n_steps=1)
+    trainer.fit()
+    run_dir = tmp_path / "logs" / logger.version
+    assert (run_dir / "best_pesq").exists(), "best_pesq checkpoint did not fire"
+    # the logged validation PESQ must be a real (finite) score
+    import csv
+    with open(logger.log_dir / "metrics.csv") as f:
+        rows = [r for r in csv.DictReader(f) if r.get("pesq") not in (None, "", "nan")]
+    assert rows and np.isfinite(float(rows[-1]["pesq"]))
