@@ -321,21 +321,38 @@ class ScoreModel:
         return program
 
     def get_pc_sampler(self, predictor_name, corrector_name, variables, y,
-                       N: Optional[int] = None, minibatch: Optional[int] = None, **kwargs):
+                       N: Optional[int] = None, minibatch: Optional[int] = None,
+                       prior_noise=None, **kwargs):
         sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
         kw = {"eps": self.t_eps,
               **{k: v for k, v in kwargs.items()
                  if k in ("denoise", "eps", "snr", "corrector_steps",
                           "probability_flow", "intermediate")}}
-        cache_key = ("pc", predictor_name, corrector_name, sde,
-                     tuple(sorted(kw.items())))
+        # Noise injection (verification hook): prior_noise of y's shape
+        # injects only the prior draw; shape (N+1, *y.shape) additionally
+        # injects each predictor step's noise (corrector must be 'none').
+        inject = prior_noise is not None
+        inject_steps = inject and np.asarray(prior_noise).ndim == 5
+        if inject and minibatch is not None:
+            raise ValueError("prior_noise injection is not supported with minibatch")
+        cache_key = ("pc", predictor_name, corrector_name, sde, inject,
+                     inject_steps, tuple(sorted(kw.items())))
         program, nfe = self._cached_program(
             cache_key, variables,
             lambda: sampling.pc_sampler_program(
                 predictor_name, corrector_name, sde,
-                self.score_fn(variables), **kw))
+                self.score_fn(variables),
+                inject_prior=inject and not inject_steps,
+                inject_steps=inject_steps, **kw))
 
         if minibatch is None:
+            if inject:
+                z = jnp.asarray(prior_noise)
+
+                def sample(key):
+                    return program(key, y, z), nfe
+                return sample
+
             def sample(key):
                 return program(key, y), nfe
             return sample

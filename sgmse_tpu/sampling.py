@@ -45,11 +45,11 @@ def _bcast(c):
 def reverse_diffusion_predictor(sde: SDE, score_fn, probability_flow: bool = False):
     """x_mean = x - rev_f; x = x_mean + rev_G z (reference predictors.py:55-65)."""
 
-    def update(x, y, t, stepsize, key):
+    def update(x, y, t, stepsize, key, noise=None):
         score = score_fn(x, y, t)
         rev_f, rev_G = sde.reverse_discretize(score, x, y, t, stepsize,
                                               probability_flow=probability_flow)
-        z = crandn(key, x.shape)
+        z = crandn(key, x.shape) if noise is None else noise
         x_mean = x - rev_f
         x_new = x_mean + _bcast(rev_G) * z
         return x_new, x_mean
@@ -61,10 +61,10 @@ def reverse_diffusion_predictor(sde: SDE, score_fn, probability_flow: bool = Fal
 def euler_maruyama_predictor(sde: SDE, score_fn, probability_flow: bool = False):
     """Fixed dt = -1/N Euler-Maruyama step (reference predictors.py:41-52)."""
 
-    def update(x, y, t, stepsize, key):
+    def update(x, y, t, stepsize, key, noise=None):
         del stepsize
         dt = -1.0 / sde.N
-        z = crandn(key, x.shape)
+        z = crandn(key, x.shape) if noise is None else noise
         score = score_fn(x, y, t)
         f, g = sde.reverse_sde(score, x, y, t, probability_flow=probability_flow)
         x_mean = x + f * dt
@@ -76,7 +76,7 @@ def euler_maruyama_predictor(sde: SDE, score_fn, probability_flow: bool = False)
 
 @PredictorRegistry.register("none")
 def none_predictor(sde: SDE, score_fn, probability_flow: bool = False):
-    def update(x, y, t, stepsize, key):
+    def update(x, y, t, stepsize, key, noise=None):
         return x, x
 
     return update
@@ -150,8 +150,19 @@ def pc_sampler_program(
     probability_flow: bool = False,
     intermediate: bool = False,
     unroll: int = 1,
+    inject_prior: bool = False,
+    inject_steps: bool = False,
 ) -> Tuple[Callable, int]:
     """Build the jitted PC program ``sampler(key, y) -> sample`` plus its NFE.
+
+    With ``inject_prior=True`` the program signature becomes
+    ``sampler(key, y, z)`` where ``z`` has y's shape and the prior sample is
+    formed deterministically as ``sde.prior_from_noise(z, y)``. With
+    ``inject_steps=True`` additionally (requires corrector 'none'), ``z`` has
+    shape ``(N+1, *y.shape)``: ``z[0]`` is the prior draw and ``z[1+i]`` the
+    predictor noise of step i. These are the hooks used to drive this
+    sampler and the torch reference from the *same* noise sequence for
+    end-to-end pipeline-parity verification (tests/test_pipeline_parity.py).
 
     With ``intermediate=True`` the program returns ``(sample, trajectory)``
     where trajectory has shape ``(N, *sample.shape)`` — the state after each
@@ -175,32 +186,46 @@ def pc_sampler_program(
     # Non-uniform last step: eps -> 0 (reference sampling/__init__.py:59-62).
     stepsizes = jnp.concatenate([timesteps[:-1] - timesteps[1:], timesteps[-1:]])
 
+    if inject_steps and corrector_name != "none":
+        raise ValueError("inject_steps verification requires corrector='none' "
+                         "(corrector noise is not injectable)")
+
     @jax.jit
-    def sampler(key, y):
+    def sampler(key, y, z=None):
         key, kprior = jax.random.split(key)
-        xt = sde.prior_sampling(kprior, y)
+        if inject_steps:
+            xt = sde.prior_from_noise(z[0], y)
+        elif inject_prior:
+            xt = sde.prior_from_noise(z, y)
+        else:
+            xt = sde.prior_sampling(kprior, y)
         batch = y.shape[0]
 
         def step(carry, inp):
             x, k = carry
-            t, dt = inp
+            if inject_steps:
+                t, dt, zp = inp
+            else:
+                t, dt = inp
+                zp = None
             vec_t = jnp.ones((batch,), dtype=jnp.float32) * t
             k, kc, kp = jax.random.split(k, 3)
             x, _ = corrector(x, y, vec_t, kc)
-            x, _ = predictor(x, y, vec_t, dt, kp)
+            x, _ = predictor(x, y, vec_t, dt, kp, noise=zp)
             return (x, k), (x if intermediate else None)
 
+        xs = ((timesteps[:-1], stepsizes[:-1], z[1:n])
+              if inject_steps else (timesteps[:-1], stepsizes[:-1]))
         # Keep the carried key: re-splitting the pre-scan key here would
         # reuse the first scan step's noise keys bit-for-bit.
-        (xt, key), traj = jax.lax.scan(step, (xt, key),
-                                       (timesteps[:-1], stepsizes[:-1]),
-                                       unroll=unroll)
+        (xt, key), traj = jax.lax.scan(step, (xt, key), xs, unroll=unroll)
 
         # Final step separately so we can keep x_mean for denoising.
         vec_t = jnp.ones((batch,), dtype=jnp.float32) * timesteps[-1]
         key, kc, kp = jax.random.split(key, 3)
         xt, xt_mean = corrector(xt, y, vec_t, kc)
-        xt, xt_mean = predictor(xt, y, vec_t, stepsizes[-1], kp)
+        xt, xt_mean = predictor(xt, y, vec_t, stepsizes[-1], kp,
+                                noise=z[n] if inject_steps else None)
         result = xt_mean if denoise else xt
         if intermediate:
             return result, jnp.concatenate([traj, xt[None]], axis=0)

@@ -54,6 +54,13 @@ class SDE:
     def prior_sampling(self, key, y) -> jnp.ndarray:
         raise NotImplementedError
 
+    def prior_from_noise(self, z, y) -> jnp.ndarray:
+        """Deterministic form of :meth:`prior_sampling` given the standard
+        complex normal draw ``z`` explicitly. Used for cross-framework
+        verification (inject the same z into this and the torch reference)
+        and for reproducible sampling with externally managed noise."""
+        raise NotImplementedError
+
     def _std(self, t) -> jnp.ndarray:
         raise NotImplementedError
 
@@ -150,9 +157,11 @@ class OUVESDE(SDE):
 
     def prior_sampling(self, key, y):
         """x_T ~ N(y, sigma(T)^2 I) with complex circular noise (reference sdes.py:224-229)."""
+        return self.prior_from_noise(crandn(key, y.shape), y)
+
+    def prior_from_noise(self, z, y):
         std = self._std(jnp.ones((y.shape[0],), dtype=jnp.float32) * self.T)
-        z = crandn(key, y.shape)
-        return y + z * _bcast(std).astype(y.dtype)
+        return y + z.astype(y.dtype) * _bcast(std).astype(y.dtype)
 
 
 @SDERegistry.register("sbve")
@@ -223,6 +232,10 @@ class SBVESDE(SDE):
     def prior_sampling(self, key, y):
         """x_T = y exactly (reference sdes.py:306-310)."""
         del key
+        return y
+
+    def prior_from_noise(self, z, y):
+        del z  # the SB prior is noiseless
         return y
 
 

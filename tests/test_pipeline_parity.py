@@ -1,0 +1,154 @@
+"""End-to-end pipeline parity vs the actual torch reference (VERDICT r1 #2).
+
+test_convert.py proves *module forward* parity; this file proves the
+*user-visible product* is the same: the full enhancement pipeline — max-abs
+normalize -> STFT -> magnitude-compression transform -> pad-to-64 -> reverse
+diffusion sampling -> inverse transform -> iSTFT -> un-normalize — produces
+the same waveform from the same weights and the same noise sequence.
+
+The reference's ScoreModel/enhancement.py cannot be imported here (it
+hard-depends on pytorch_lightning / pesq / torchaudio, absent in this
+environment), so the torch side is reconstructed from the reference's own
+importable pieces, mirroring enhancement.py:62-103 line by line:
+
+  * STFT / spec_fwd / spec_back constants from sgmse/data_module.py:123-188
+    (hann periodic window, center=True, spec_factor 0.15, exponent 0.5),
+  * pad_spec zero_pad from sgmse/util/other.py:76-90,
+  * OUVESDE + get_pc_sampler + ReverseDiffusionPredictor verbatim from
+    sgmse/sdes.py and sgmse/sampling/,
+  * the score contract from sgmse/model.py:307-309
+    (score = -dnn(cat([x_t, y]), t)).
+
+Determinism across frameworks: the sampler runs with corrector 'none' so the
+torch side's RNG draws are exactly [prior z, predictor z per step]; that
+sequence is captured from torch's generator and injected into our sampler
+via the `prior_noise` hook (sampling.pc_sampler_program inject_steps). The
+corrector noise path has its own unit parity tests (test_sampling.py).
+
+Note on probability_flow: the reference's Predictor.__init__ builds
+`self.rsde = sde.reverse(score_fn)` WITHOUT forwarding probability_flow
+(predictors.py:15-20), so the flag never reaches RSDE.discretize and the
+reference PC sampler always behaves stochastically with the full score
+drift. Our sampler honors the flag; parity is therefore asserted on the
+reference's actual (stochastic) behavior.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, "/root/reference")
+
+torch = pytest.importorskip("torch")
+
+from sgmse_tpu import convert
+from sgmse_tpu.model import ScoreModel
+from sgmse_tpu.utils.metrics import si_sdr
+
+CFG = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=1, attn_resolutions=(16,),
+           image_size=64)
+N_FFT, HOP = 126, 32
+SPEC_FACTOR, SPEC_EXP = 0.15, 0.5
+SR = 16000
+
+
+def _torch_enhance(tm, y_wav: np.ndarray, n_steps: int, seed: int = 7):
+    """The reference enhancement pipeline (enhancement.py:62-103), built from
+    the reference's importable modules. Returns (x_hat, noise_sequence) where
+    noise_sequence[0] is the prior draw and noise_sequence[1+i] the predictor
+    noise of step i — torch's exact RNG consumption order for corrector
+    'none'."""
+    from sgmse.sdes import OUVESDE
+    from sgmse.sampling import get_pc_sampler
+
+    y = torch.from_numpy(y_wav)[None]                     # (1, T)
+    t_orig = y.size(1)
+    norm_factor = y.abs().max()
+    y = y / norm_factor
+
+    window = torch.hann_window(N_FFT, periodic=True)
+    spec = torch.stft(y, n_fft=N_FFT, hop_length=HOP, window=window,
+                      center=True, return_complex=True)
+    # spec_fwd (data_module.py:162-170), transform_type 'exponent'
+    spec = spec.abs() ** SPEC_EXP * torch.exp(1j * spec.angle()) * SPEC_FACTOR
+    Y = spec.unsqueeze(0)                                 # (1, 1, F, T)
+    num_pad = (64 - Y.size(3) % 64) % 64                  # pad_spec zero_pad
+    Y = torch.nn.ZeroPad2d((0, num_pad, 0, 0))(Y)
+
+    def score_fn(x, yy, t):
+        with torch.no_grad():
+            return -tm(torch.cat([x, yy], dim=1), t)      # model.py:307-309
+
+    sde = OUVESDE(theta=1.5, sigma_min=0.05, sigma_max=0.5, N=n_steps)
+    # Capture torch's exact noise sequence: with corrector 'none' the draws
+    # are randn_like(Y) once for the prior, then once per predictor step.
+    torch.manual_seed(seed)
+    zs = torch.stack([torch.randn_like(Y) for _ in range(n_steps + 1)])
+    torch.manual_seed(seed)
+    sampler = get_pc_sampler("reverse_diffusion", "none", sde, score_fn, Y,
+                             denoise=True, eps=3e-2)
+    sample, _ = sampler()
+
+    # to_audio = istft(spec_back(spec), length) (model.py:411-423)
+    s = sample.squeeze(0) / SPEC_FACTOR
+    s = s.abs() ** (1.0 / SPEC_EXP) * torch.exp(1j * s.angle())
+    x_hat = torch.istft(s, n_fft=N_FFT, hop_length=HOP, window=window,
+                        center=True, length=t_orig)
+    return (x_hat * norm_factor).numpy()[0], zs.numpy()
+
+
+@pytest.fixture(scope="module")
+def shared_weights():
+    from sgmse.backbones.ncsnpp import NCSNpp as TorchNCSNpp
+    torch.manual_seed(0)
+    tm = TorchNCSNpp(**CFG)
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert.convert_ncsnpp_state_dict(sd, **CFG)
+    return tm, params
+
+
+@pytest.fixture(scope="module")
+def noisy_wav():
+    rng = np.random.default_rng(3)
+    t = np.arange(SR) / SR
+    clean = (0.4 * np.sin(2 * np.pi * 330 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    return clean + 0.05 * rng.standard_normal(SR).astype(np.float32)
+
+
+def _ours_enhance(params, noisy_wav, n_steps, zs):
+    model = ScoreModel("ncsnpp", "ouve", n_fft=N_FFT, hop_length=HOP,
+                       num_frames=64, **CFG)
+    return model.enhance({"params": params}, noisy_wav,
+                         key=jax.random.key(0), N=n_steps,
+                         corrector="none", prior_noise=zs,
+                         pad_mode="zero_pad")
+
+
+def test_enhancement_pipeline_waveform_parity(shared_weights, noisy_wav):
+    tm, params = shared_weights
+    n_steps = 8
+    x_ref, zs = _torch_enhance(tm, noisy_wav, n_steps)
+    x_ours = _ours_enhance(params, noisy_wav, n_steps, zs)
+
+    assert x_ours.shape == x_ref.shape
+    scale = np.abs(x_ref).max()
+    # Same weights + same noise sequence => same waveform up to f32
+    # accumulation differences across n_steps network evaluations.
+    assert np.max(np.abs(x_ours - x_ref)) < 5e-3 * scale, (
+        np.max(np.abs(x_ours - x_ref)) / scale)
+    # Agreement in metric space: the two pipelines' outputs are >=35 dB close.
+    assert si_sdr(x_ref, x_ours) > 35.0
+
+
+def test_pipelines_agree_on_metrics_of_output(shared_weights, noisy_wav):
+    """Quality metrics computed on the two pipelines' outputs agree — the
+    claim a reference user cares about when switching frameworks."""
+    tm, params = shared_weights
+    x_ref, zs = _torch_enhance(tm, noisy_wav, 4)
+    x_ours = _ours_enhance(params, noisy_wav, 4, zs)
+    anchor = noisy_wav  # any fixed anchor works for agreement checks
+    assert abs(si_sdr(anchor, x_ref) - si_sdr(anchor, x_ours)) < 0.1
