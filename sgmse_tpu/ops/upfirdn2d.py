@@ -143,37 +143,20 @@ def _upfirdn_separable(x, k1d: np.ndarray, up: int, down: int, pad0: int, pad1: 
 # StyleGAN2-style resampling ops (reference up_or_down_sampling.py)
 # ---------------------------------------------------------------------------------------
 
-# When True, route the hot 2x shapes through the fused Pallas kernels in
-# pallas_fir.py (with exact custom VJPs). The XLA path below remains the
-# reference semantics for all other shapes/backends. Default False: the
-# current kernels rely on stride-2 slices that Mosaic does not lower on real
-# TPU hardware (verified 2026-08-16: upsample fails in mosaic compile,
-# downsample hits "Only 2D gather is supported"); they are kept (and tested in
-# interpret mode) as the starting point for a Mosaic-clean rewrite.
-USE_PALLAS: Optional[bool] = None
-
-
-def _pallas_eligible(x, k, factor: int, gain: float) -> bool:
-    if factor != 2 or gain != 1.0 or x.ndim != 4:
-        return False
-    if x.dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    karr = np.asarray(k, dtype=np.float32)
-    if karr.ndim != 1 or karr.shape[0] != 4:
-        return False
-    # USE_PALLAS=True is an explicit opt-in (tests run the kernels in
-    # interpret mode); None means "auto", currently always the XLA path.
-    return bool(USE_PALLAS)
-
+# A hand-written fused Pallas FIR kernel was built, tested (interpret mode),
+# and DELETED in round 2 after profiling the flagship inference program on
+# chip: XLA fuses the GroupNorm statistics and all elementwise work into the
+# convolutions, which run at ~88% of v5e bf16 peak in aggregate (82% MFU end
+# to end, see docs/PERFORMANCE.md). There is no kernel-level headroom for a
+# custom FIR op at these shapes, and the kernels did not lower under Mosaic
+# on real TPU (stride-2 sublane slices / gather limits). The XLA
+# `lhs_dilation` formulation below IS the performance path.
 
 def upsample_2d(x: jnp.ndarray, k: Kernel = None, factor: int = 2, gain: float = 1.0):
     """FIR upsample by `factor` (reference up_or_down_sampling.py:195-224). NHWC."""
     assert isinstance(factor, int) and factor >= 1
     if k is None:
         k = [1.0] * factor
-    if _pallas_eligible(x, k, factor, gain):
-        from . import pallas_fir
-        return pallas_fir.fir_upsample_2d_ad(x, tuple(float(v) for v in np.asarray(k)))
     k = setup_kernel(k) * (gain * (factor**2))
     p = k.shape[0] - factor
     return upfirdn2d(x, k, up=factor, pad=((p + 1) // 2 + factor - 1, p // 2))
@@ -184,9 +167,6 @@ def downsample_2d(x: jnp.ndarray, k: Kernel = None, factor: int = 2, gain: float
     assert isinstance(factor, int) and factor >= 1
     if k is None:
         k = [1.0] * factor
-    if _pallas_eligible(x, k, factor, gain) and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        from . import pallas_fir
-        return pallas_fir.fir_downsample_2d_ad(x, tuple(float(v) for v in np.asarray(k)))
     k = setup_kernel(k) * gain
     p = k.shape[0] - factor
     return upfirdn2d(x, k, down=factor, pad=((p + 1) // 2, p // 2))
