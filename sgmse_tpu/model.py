@@ -474,7 +474,7 @@ class ScoreModel:
         out = out / np.maximum(weight, 1e-8)
         return out[: y_wav.shape[-1]]
 
-    def enhance(self, variables, y_wav, key=None, sampler_type: str = "pc",
+    def enhance(self, variables, y_wav, key=None, sampler_type: Optional[str] = None,
                 predictor: str = "reverse_diffusion", corrector: str = "ald",
                 N: int = 30, corrector_steps: int = 1, snr: float = 0.5,
                 timeit: bool = False, pad_mode: str = "zero_pad", **kwargs):
@@ -502,19 +502,25 @@ class ScoreModel:
         Y = self.spec.wav_to_spec(y_norm)[:, None]  # (B, 1, F, T)
         Y = pad_spec(Y, mode=pad_mode)
 
+        # The sampler_type *argument* wins, like the reference's --sampler_type
+        # flag (enhancement.py:80-88); the SDE's own sampler_type field is the
+        # fallback so checkpoints trained with a preferred sampler keep it.
+        stype = sampler_type if sampler_type is not None else self.sde.sampler_type
         if self.sde_name == "ouve":
-            if self.sde.sampler_type == "pc":
+            if stype == "pc":
                 sampler = self.get_pc_sampler(predictor, corrector, variables, Y, N=N,
                                               corrector_steps=corrector_steps, snr=snr,
                                               **kwargs)
-            elif self.sde.sampler_type == "ode":
+            elif stype == "ode":
                 sampler = self.get_ode_sampler(variables, Y, N=N, **kwargs)
             else:
                 raise ValueError(
-                    f"Invalid sampler type for SGMSE sampling: {self.sde.sampler_type}")
+                    f"Invalid sampler type for SGMSE sampling: {stype}")
         elif self.sde_name == "sbve":
+            # reference enhancement.py:88: 'pc' maps to 'ode' for the SB model
             sampler = self.get_sb_sampler(variables, Y,
-                                          sampler_type=self.sde.sampler_type, **kwargs)
+                                          sampler_type="ode" if stype == "pc" else stype,
+                                          **kwargs)
         else:
             raise ValueError(f"Invalid SDE type for speech enhancement: {self.sde_name}")
 
