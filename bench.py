@@ -75,17 +75,27 @@ def main():
     score_fn = model.score_fn(variables)
 
     # ---- ours: batched, one jitted scan, bf16 compute -------------------------------
-    sampler = sampling.get_pc_sampler(
-        "reverse_diffusion", "ald", model.sde, score_fn, y,
+    # Timing methodology: force a scalar readback per rep. On the axon tunnel
+    # block_until_ready() does not reliably synchronize (docs/PERFORMANCE.md,
+    # round-2 roofline section); float(mean) is the only trustworthy fence.
+    program, _nfe = sampling.pc_sampler_program(
+        "reverse_diffusion", "ald", model.sde, score_fn,
         denoise=True, eps=model.t_eps, snr=snr, corrector_steps=1)
-    _retry(lambda: sampler(jax.random.key(2))[0].block_until_ready(),
-           "compile ours")  # warmup/compile
-    t0 = time.time()
-    reps = 3
-    for i in range(reps):
-        sampler(jax.random.key(3 + i))[0].block_until_ready()
-    ours_wall = (time.time() - t0) / reps
+    fenced = jax.jit(lambda k, y: program(k, y).real.mean())
+    _retry(lambda: float(fenced(jax.random.key(2), y)), "compile ours")
+    walls = []
+    for i in range(5):
+        t0 = time.time()
+        float(fenced(jax.random.key(3 + i), y))
+        walls.append(time.time() - t0)
+    ours_wall = sorted(walls)[len(walls) // 2]  # median of 5 steady-state reps
     ours_value = batch * audio_sec_per_utt / ours_wall
+    # Model FLOPs utilization at this operating point, from the round-2
+    # profile: 9.79 TFLOP per NFE (exact conv FLOPs parsed from compiled HLO)
+    # x 60 NFE per program, against the v5e bf16 peak of 197 TFLOP/s.
+    mfu = 9.79e12 * 60 / ours_wall / 197e12
+    print(f"# sustained {9.79*60/ours_wall:.0f} TFLOP/s -> MFU {mfu*100:.0f}% "
+          f"(9.79 TFLOP/NFE x 60 NFE / {ours_wall:.2f}s / 197 TF/s peak)", flush=True)
 
     # ---- reference-style driver: batch=1, f32, python loop, host sync per step ------
     sde = model_f32.sde
@@ -112,6 +122,8 @@ def main():
     def prior(key, y1):
         return sde.prior_sampling(key, y1)
 
+    fence = jax.jit(lambda x: x.real.mean())  # trustworthy per-step sync
+
     timesteps = np.linspace(sde.T, model.t_eps, n_steps)
 
     def reference_style_enhance(y1, key):
@@ -125,7 +137,7 @@ def main():
             key, kc, kpred = jax.random.split(key, 3)
             xt = corrector_step(xt, y1, t, kc)
             xt, xt_mean = predictor_step(xt, y1, t, dt, kpred)
-            xt.block_until_ready()  # host sync each step (torch-loop behavior)
+            float(fence(xt))  # host sync each step (torch-loop behavior)
         return xt_mean
 
     vs_baseline = None
