@@ -78,7 +78,7 @@ def main():
     # Timing methodology: force a scalar readback per rep. On the axon tunnel
     # block_until_ready() does not reliably synchronize (docs/PERFORMANCE.md,
     # round-2 roofline section); float(mean) is the only trustworthy fence.
-    program, _nfe = sampling.pc_sampler_program(
+    program, nfe = sampling.pc_sampler_program(
         "reverse_diffusion", "ald", model.sde, score_fn,
         denoise=True, eps=model.t_eps, snr=snr, corrector_steps=1)
     fenced = jax.jit(lambda k, y: program(k, y).real.mean())
@@ -90,12 +90,16 @@ def main():
         walls.append(time.time() - t0)
     ours_wall = sorted(walls)[len(walls) // 2]  # median of 5 steady-state reps
     ours_value = batch * audio_sec_per_utt / ours_wall
-    # Model FLOPs utilization at this operating point, from the round-2
-    # profile: 9.79 TFLOP per NFE (exact conv FLOPs parsed from compiled HLO)
-    # x 60 NFE per program, against the v5e bf16 peak of 197 TFLOP/s.
-    mfu = 9.79e12 * 60 / ours_wall / 197e12
-    print(f"# sustained {9.79*60/ours_wall:.0f} TFLOP/s -> MFU {mfu*100:.0f}% "
-          f"(9.79 TFLOP/NFE x 60 NFE / {ours_wall:.2f}s / 197 TF/s peak)", flush=True)
+    # Model FLOPs utilization at this operating point. The per-NFE FLOP count
+    # (exact conv FLOPs parsed from the compiled HLO, round-2 profile) is only
+    # valid for the shapes it was measured at, so the MFU line is gated on them.
+    if (batch, num_frames) == (16, 256):
+        tflop_per_nfe = 9.79  # batch 16, 256x256 specs, 65.6M NCSN++
+        tfs = tflop_per_nfe * nfe / ours_wall
+        mfu = tfs / 197.0  # v5e bf16 peak
+        print(f"# sustained {tfs:.0f} TFLOP/s -> MFU {mfu*100:.0f}% "
+              f"({tflop_per_nfe} TFLOP/NFE x {nfe} NFE / {ours_wall:.2f}s / "
+              f"197 TF/s peak)", flush=True)
 
     # ---- reference-style driver: batch=1, f32, python loop, host sync per step ------
     sde = model_f32.sde

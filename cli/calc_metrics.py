@@ -4,9 +4,11 @@
 Capability parity with /root/reference/calc_metrics.py:15-67: same flags, the
 VoiceBank `p232_001_0dB.wav -> p232_001.wav` filename convention (lines 30-33),
 the same metric set, the same `_results.csv` + `_avg_results.txt` outputs and
-the same printed mean±std report. PESQ is gated on the `pesq` package
-(reported as NaN with a warning when absent; the NaN-robust mean_std matches
-the reference util, other.py:109-113).
+the same printed mean±std report. PESQ uses the conformance `pesq` package
+when installed and otherwise falls back to the built-in P.862-structured
+scorer (sgmse_tpu/utils/p862.py, rank-faithful but not
+conformance-certified — a one-time warning says which is active); the
+NaN-robust mean_std matches the reference util, other.py:109-113.
 """
 import argparse
 import sys

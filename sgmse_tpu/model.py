@@ -332,7 +332,8 @@ class ScoreModel:
         # injects only the prior draw; shape (N+1, *y.shape) additionally
         # injects each predictor step's noise (corrector must be 'none').
         inject = prior_noise is not None
-        inject_steps = inject and np.asarray(prior_noise).ndim == 5
+        # np.ndim reads the rank without materializing a device array to host.
+        inject_steps = inject and np.ndim(prior_noise) == 5
         if inject and minibatch is not None:
             raise ValueError("prior_noise injection is not supported with minibatch")
         cache_key = ("pc", predictor_name, corrector_name, sde, inject,
@@ -483,6 +484,12 @@ class ScoreModel:
         Follows the reference pipeline: max-abs normalize -> STFT + compression
         transform -> pad T to multiple of 64 -> reverse sampling -> inverse
         transform + iSTFT -> un-normalize.
+
+        With ``intermediate=True`` on the PC path, returns ``(x_hat,
+        trajectory)`` where trajectory is the (N, B, 1, F, T) spec-domain
+        state after each predictor step (``(x_hat, trajectory, nfe, rtf)``
+        with ``timeit=True``). The ODE/SB paths ignore the flag, like the
+        reference (sampling/__init__.py:28).
         """
         if key is None:
             # Deterministic default (see enhance_long): key=None always means
@@ -524,7 +531,12 @@ class ScoreModel:
         else:
             raise ValueError(f"Invalid SDE type for speech enhancement: {self.sde_name}")
 
-        sample, nfe = sampler(key)
+        out, nfe = sampler(key)
+        trajectory = None
+        if kwargs.get("intermediate") and self.sde_name == "ouve" and stype == "pc":
+            sample, trajectory = out  # PC program returns (sample, trajectory)
+        else:
+            sample = out
         x_hat = self.to_audio(sample[:, 0], t_orig)
         x_hat = x_hat * norm_factor
         x_hat.block_until_ready()
@@ -534,7 +546,11 @@ class ScoreModel:
             x_hat = x_hat[0]
         if timeit:
             rtf = (end - start) / (x_hat.shape[-1] / self.sr)
+            if trajectory is not None:
+                return x_hat, trajectory, nfe, rtf
             return x_hat, nfe, rtf
+        if trajectory is not None:
+            return x_hat, trajectory
         return x_hat
 
     # --- config round-trip (for checkpoint embedding) --------------------------------

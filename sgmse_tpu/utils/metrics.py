@@ -215,18 +215,10 @@ def stoi(x: np.ndarray, y: np.ndarray, fs_sig: int, extended: bool = False) -> f
 
 
 # ---------------------------------------------------------------------------------------
-# PESQ (gated external dependency, as in the reference's `pesq` C library)
+# PESQ (conformance `pesq` C library when installed, built-in P.862 otherwise)
 # ---------------------------------------------------------------------------------------
 
 _PESQ_WARNED = False
-
-
-def pesq_available() -> bool:
-    try:
-        import pesq  # noqa: F401
-        return True
-    except ImportError:
-        return False
 
 
 def pesq_wb(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:

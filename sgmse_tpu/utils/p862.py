@@ -288,9 +288,14 @@ def _pesq_raw(ref: np.ndarray, deg: np.ndarray, md: _Mode) -> float:
         if act.any():
             p *= _TARGET_LEVEL_POWER / (tot[act].mean() + _EPS)
 
+    # No speech activity in the reference -> no utterances to score. The
+    # conformance package raises NoUtterancesError here; raising ValueError
+    # makes metrics.pesq_wb return NaN instead of a silent-pair ceiling
+    # score of 4.64 that would inflate validation means and best-PESQ
+    # checkpoint selection.
+    if not (pr.sum(axis=1) > act_thresh).any():
+        raise ValueError("no utterances detected in the reference signal")
     active = (pr.sum(axis=1) > act_thresh) | (pd.sum(axis=1) > act_thresh)
-    if not active.any():
-        active = np.ones(pr.shape[0], dtype=bool)
 
     # Partial frequency-response equalization: equalize the *reference*
     # toward the degraded long-term spectrum (clamped).
@@ -344,7 +349,12 @@ def _pesq_raw(ref: np.ndarray, deg: np.ndarray, md: _Mode) -> float:
         if len(fd) < _SYLLABLE_FRAMES:
             sylls = np.array([np.mean(fd ** p) ** (1.0 / p)])
         else:
-            starts = range(0, len(fd) - _SYLLABLE_FRAMES + 1, _SYLLABLE_HOP)
+            starts = list(range(0, len(fd) - _SYLLABLE_FRAMES + 1, _SYLLABLE_HOP))
+            # Anchor a final window at the end so the last up-to-HOP-1 frames
+            # (~150 ms) are never dropped — distortion confined to the tail of
+            # an utterance must be able to move the score.
+            if starts[-1] + _SYLLABLE_FRAMES < len(fd):
+                starts.append(len(fd) - _SYLLABLE_FRAMES)
             sylls = np.array([
                 np.mean(fd[s: s + _SYLLABLE_FRAMES] ** p) ** (1.0 / p)
                 for s in starts])

@@ -215,3 +215,21 @@ def test_enhance_sampler_type_argument_is_honored(model_and_params):
     # outputs must differ if the argument actually switched samplers
     x_pc = model.enhance(variables, y_wav, key=jax.random.key(0), N=3)
     assert not np.allclose(x_ode, x_pc)
+
+
+def test_enhance_intermediate_returns_trajectory(model_and_params):
+    """enhance(intermediate=True) must return (x_hat, trajectory) on the PC
+    path. Regression for a round-2 bug where the flag was forwarded into the
+    sampler (changing its return to a tuple) but enhance() still indexed the
+    result as a spec array and crashed with TypeError."""
+    model, variables = model_and_params
+    rng = np.random.default_rng(0)
+    y_wav = rng.standard_normal(4000).astype(np.float32) * 0.1
+    x_hat, traj = model.enhance(variables, y_wav, key=jax.random.key(0), N=3,
+                                intermediate=True)
+    assert x_hat.shape == y_wav.shape and np.all(np.isfinite(x_hat))
+    assert traj.shape[0] == 3  # one spec-domain state per predictor step
+    assert np.all(np.isfinite(np.abs(np.asarray(traj))))
+    # without the flag the return contract is unchanged
+    x_plain = model.enhance(variables, y_wav, key=jax.random.key(0), N=3)
+    np.testing.assert_array_equal(np.asarray(x_plain), np.asarray(x_hat))

@@ -105,3 +105,26 @@ def test_metrics_fallback_is_live(speech):
     assert np.isfinite(val) and 1.0 <= val <= 4.7
     ident = M.pesq_wb(FS, speech, speech)
     assert ident == pytest.approx(4.6439, abs=0.005) or ident == pytest.approx(4.64, abs=0.01)
+
+
+def test_tail_distortion_is_scored(speech):
+    """A noise burst confined to the final 125 ms must lower the score: the
+    syllable aggregation anchors a last window at the signal end instead of
+    dropping up to HOP-1 trailing frames (round-2 review finding — before the
+    fix this scored 4.643, indistinguishable from identity)."""
+    deg = speech.copy()
+    rng = np.random.default_rng(7)
+    deg[-FS // 8:] = deg[-FS // 8:] + 5.0 * rng.standard_normal(FS // 8)
+    assert pesq(FS, speech, deg, "wb") < 4.3
+
+
+def test_silent_reference_raises_and_maps_to_nan():
+    """A reference with no speech activity has no utterances to score: the
+    conformance package raises NoUtterancesError; the builtin raises
+    ValueError and pesq_wb maps it to NaN (round-2 review finding — before
+    the fix a silent pair scored the 4.6439 ceiling, inflating validation
+    means and best-PESQ checkpoint selection)."""
+    z = np.zeros(FS)
+    with pytest.raises(ValueError):
+        pesq(FS, z, z, "wb")
+    assert np.isnan(M.pesq_wb(FS, z, z))
