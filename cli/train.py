@@ -63,6 +63,10 @@ def main():
                                 help="Number of epochs to train.")
     trainer_parser.add_argument("--max_steps", type=int, default=-1,
                                 help="Number of steps to train (-1 = unlimited).")
+    trainer_parser.add_argument("--steps_per_execution", type=int, default=1,
+                                help="Scan this many train steps inside one "
+                                     "jitted program (amortizes per-launch "
+                                     "dispatch overhead; TPU-only win).")
 
     ScoreModel.add_argparse_args(
         parser.add_argument_group("ScoreModel", description=ScoreModel.__name__))
@@ -94,6 +98,7 @@ def main():
         accumulate_grad_batches=args.accumulate_grad_batches,
         save_ckpt_interval=args.save_ckpt_interval,
         num_devices=num_devices,
+        steps_per_execution=args.steps_per_execution,
     )
     trainer.fit(ckpt_path=args.ckpt)
 

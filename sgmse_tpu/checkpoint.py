@@ -101,10 +101,19 @@ class CheckpointPolicies:
         self.save_ckpt_interval = save_ckpt_interval
         self.monitor_metrics = monitor_metrics
         self.best = {"pesq": -np.inf, "si_sdr": -np.inf}
-        self._last_interval_step = 0
+        self._last_interval_step: Optional[int] = None
 
     def on_train_step(self, step: int, state_tree, config) -> None:
-        if self.save_ckpt_interval and step > 0 and step % self.save_ckpt_interval == 0:
+        """Save a kept-forever checkpoint whenever an interval multiple was
+        crossed since the previous call. With multi-step execution
+        (Trainer steps_per_execution > 1) the step counter advances in
+        jumps, so the exact-multiple test would silently skip intervals."""
+        if not self.save_ckpt_interval or step <= 0:
+            return
+        prev = self._last_interval_step if self._last_interval_step is not None \
+            else step - 1
+        self._last_interval_step = step
+        if step // self.save_ckpt_interval > prev // self.save_ckpt_interval:
             save_checkpoint(self.log_dir / f"step_{step}", state_tree, config)
 
     def on_validation(self, step: int, state_tree, config,

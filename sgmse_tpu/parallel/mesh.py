@@ -40,6 +40,18 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def stacked_data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a (steps, batch, ...) stack of batches: the leading steps
+    axis is a scan axis (replicated), the batch axis is sharded over 'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def shard_stacked_batch(mesh: Mesh, batch):
+    """Place a (steps, batch, ...) host stack onto the mesh (batch-dim sharded)."""
+    sharding = stacked_data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def replicate(mesh: Mesh, tree):
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

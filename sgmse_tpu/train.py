@@ -31,7 +31,8 @@ from flax import struct
 from .checkpoint import CheckpointPolicies, load_checkpoint, save_checkpoint
 from .model import ScoreModel
 from .parallel.mesh import (data_sharding, make_data_mesh, replicate,
-                            replicated, shard_batch)
+                            replicated, shard_batch, shard_stacked_batch,
+                            stacked_data_sharding)
 from .utils.inference import evaluate_model, select_eval_files, shard_eval_files
 from .utils.loggers import Logger
 
@@ -102,6 +103,35 @@ def make_train_step(model: ScoreModel, tx: optax.GradientTransformation):
     return step_fn
 
 
+def make_train_multi_step(model: ScoreModel, tx: optax.GradientTransformation,
+                          steps: int):
+    """Scan `steps` full train steps inside ONE jitted program.
+
+    (state, x_wavs, y_wavs, key) -> (state, losses) with x_wavs/y_wavs of
+    shape (steps, batch, samples) and losses of shape (steps,).
+
+    Each program launch on this backend costs ~28 ms of host/RPC dispatch
+    that cannot overlap with the serially-dependent next step; scanning k
+    steps device-side amortizes that to 28/k ms per step
+    (docs/PERFORMANCE.md round-2 training rows). The per-step math is the
+    identical `make_train_step` body; only the RNG split moves inside the
+    program (one key per execution, split into `steps` subkeys).
+    """
+    step_fn = make_train_step(model, tx)
+
+    def multi_step(state: TrainState, x_wavs, y_wavs, key):
+        keys = jax.random.split(key, steps)
+
+        def body(st, inp):
+            x, y, k = inp
+            st, loss = step_fn(st, x, y, k)
+            return st, loss
+
+        return jax.lax.scan(body, state, (x_wavs, y_wavs, keys))
+
+    return multi_step
+
+
 def make_valid_step(model: ScoreModel):
     spec = model.spec
 
@@ -128,7 +158,8 @@ class Trainer:
                  log_dir: str = "logs", max_epochs: int = -1,
                  max_steps: int = -1, accumulate_grad_batches: int = 1,
                  save_ckpt_interval: int = 50000, log_every_n_steps: int = 10,
-                 num_devices: Optional[int] = None, seed: int = 0):
+                 num_devices: Optional[int] = None, seed: int = 0,
+                 steps_per_execution: int = 1):
         self.model = model
         self.data_module = data_module
         self.logger = logger
@@ -137,6 +168,10 @@ class Trainer:
         self.accumulate_grad_batches = accumulate_grad_batches
         self.log_every_n_steps = log_every_n_steps
         self.seed = seed
+        # k > 1 scans k train steps inside one jitted program, amortizing the
+        # ~28 ms per-launch host/RPC dispatch this backend pays per program
+        # (the steps are serially dependent, so launches cannot overlap).
+        self.steps_per_execution = max(1, int(steps_per_execution))
 
         self.mesh = make_data_mesh(num_devices)
         ckpt_dir = Path(log_dir) / str(logger.version)
@@ -184,6 +219,15 @@ class Trainer:
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
+        spe = self.steps_per_execution
+        if spe > 1:
+            stacked = stacked_data_sharding(self.mesh)
+            train_multi = jax.jit(
+                make_train_multi_step(model, tx, spe),
+                in_shardings=(repl, stacked, stacked, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
         valid_step = make_valid_step(model)
         state = replicate(self.mesh, state)
         config = model.config_dict()
@@ -191,38 +235,73 @@ class Trainer:
 
         epoch = 0
         # Host-side step counter: the device step increments by exactly 1 per
-        # train_step call, so tracking it on host avoids an int(state.step)
+        # scanned train step, so tracking it on host avoids an int(state.step)
         # device sync per step. On this backend a host sync costs ~28 ms
         # (docs/PERFORMANCE.md) — at 8 steps/s that was ~20% of the step
         # budget. Losses stay on device and are read back in ONE transfer at
         # each log point, keeping dispatch fully asynchronous in between.
         step = int(state.step)
-        running_losses, running_count = [], 0
+        running_losses, running_samples = [], 0
+        last_log = step
         t_start = time.time()
         done = False
+
+        def after_execution(n_steps, losses, batch_size):
+            nonlocal step, running_samples, last_log, t_start, done
+            step += n_steps
+            running_losses.append(losses)  # scalar or (k,) device array
+            running_samples += n_steps * batch_size
+            n = self.log_every_n_steps
+            if step // n > last_log // n:
+                avg = float(jnp.concatenate(
+                    [jnp.atleast_1d(l) for l in running_losses]).mean())
+                rate = running_samples / (time.time() - t_start)
+                self.logger.log_metrics(
+                    {"train_loss": avg, "samples_per_sec": rate}, step)
+                print(f"step {step}: train_loss={avg:.4f} "
+                      f"({rate:.1f} samples/s)", flush=True)
+                running_losses.clear()
+                running_samples = 0
+                last_log = step
+                t_start = time.time()
+            self.policies.on_train_step(step, self._state_tree(state), config)
+            if self.max_steps >= 0 and step >= self.max_steps:
+                done = True
+
+        buffer = []
+
+        def flush_buffer_single():
+            """Run any buffered batches as single steps (epoch tail, or the
+            final partial block before max_steps)."""
+            nonlocal state, key
+            while buffer and not done:
+                bx, by = buffer.pop(0)
+                key, sub = jax.random.split(key)
+                x_dev, y_dev = shard_batch(self.mesh, (bx, by))
+                state, loss = train_step(state, x_dev, y_dev, sub)
+                after_execution(1, loss, bx.shape[0])
+
         while not done:
             if self.max_epochs >= 0 and epoch >= self.max_epochs:
                 break
             for x_wav, y_wav in train_loader:
-                key, sub = jax.random.split(key)
-                x_dev, y_dev = shard_batch(self.mesh, (x_wav, y_wav))
-                state, loss = train_step(state, x_dev, y_dev, sub)
-                step += 1
-                running_losses.append(loss)
-                running_count += 1
-                if step % self.log_every_n_steps == 0:
-                    avg = float(jnp.stack(running_losses).mean())
-                    rate = running_count * x_wav.shape[0] / (time.time() - t_start)
-                    self.logger.log_metrics(
-                        {"train_loss": avg, "samples_per_sec": rate}, step)
-                    print(f"step {step}: train_loss={avg:.4f} "
-                          f"({rate:.1f} samples/s)", flush=True)
-                    running_losses, running_count = [], 0
-                    t_start = time.time()
-                self.policies.on_train_step(step, self._state_tree(state), config)
-                if self.max_steps >= 0 and step >= self.max_steps:
-                    done = True
+                room = (self.max_steps - step) if self.max_steps >= 0 else None
+                if spe > 1 and (room is None or room >= spe):
+                    buffer.append((x_wav, y_wav))
+                    if len(buffer) == spe:
+                        xs = np.stack([b[0] for b in buffer])
+                        ys = np.stack([b[1] for b in buffer])
+                        buffer.clear()
+                        key, sub = jax.random.split(key)
+                        x_dev, y_dev = shard_stacked_batch(self.mesh, (xs, ys))
+                        state, losses = train_multi(state, x_dev, y_dev, sub)
+                        after_execution(spe, losses, x_wav.shape[0])
+                else:
+                    buffer.append((x_wav, y_wav))
+                    flush_buffer_single()
+                if done:
                     break
+            flush_buffer_single()  # epoch tail: partial block runs as singles
 
             if not done:
                 epoch += 1

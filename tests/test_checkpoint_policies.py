@@ -84,3 +84,18 @@ def test_nan_metric_warns_once_and_policy_skips(tmp_path):
     assert len(msgs) == 1 and "best_pesq" in msgs[0]
     assert not (tmp_path / "best_pesq").exists()
     assert (tmp_path / "best_si_sdr").exists()
+
+
+def test_interval_crossing_with_step_jumps(tmp_path):
+    """With multi-step execution the step counter advances in jumps; the
+    interval policy must fire whenever a multiple was crossed, not only on
+    exact multiples."""
+    pol = CheckpointPolicies(tmp_path, save_ckpt_interval=2, monitor_metrics=False)
+    pol.on_train_step(1, STATE, CONFIG)
+    assert not list(tmp_path.glob("step_*"))
+    pol.on_train_step(3, STATE, CONFIG)  # jumped over the multiple 2
+    assert (tmp_path / "step_3").exists()
+    pol.on_train_step(4, STATE, CONFIG)  # exact multiple still fires
+    assert (tmp_path / "step_4").exists()
+    pol.on_train_step(5, STATE, CONFIG)  # no new multiple crossed
+    assert not (tmp_path / "step_5").exists()

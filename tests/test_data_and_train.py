@@ -286,3 +286,45 @@ def test_best_pesq_policy_fires_with_builtin_metric(wav_dataset, tmp_path):
     with open(logger.log_dir / "metrics.csv") as f:
         rows = [r for r in csv.DictReader(f) if r.get("pesq") not in (None, "", "nan")]
     assert rows and np.isfinite(float(rows[-1]["pesq"]))
+
+
+def test_multi_step_matches_sequential_singles(wav_dataset):
+    """make_train_multi_step(k) must equal k sequential make_train_step calls
+    fed the same subkeys and batches (the scanned body is the identical
+    step; only the launch granularity changes)."""
+    from sgmse_tpu.train import make_train_multi_step
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    state, tx = create_train_state(model, jax.random.key(0))
+    single = jax.jit(make_train_step(model, tx))
+    multi = jax.jit(make_train_multi_step(model, tx, 3))
+    rng = np.random.default_rng(0)
+    xs = (0.1 * rng.standard_normal((3, 4, 63 * 32))).astype(np.float32)
+    ys = xs + (0.02 * rng.standard_normal((3, 4, 63 * 32))).astype(np.float32)
+    key = jax.random.key(5)
+    st_m, losses = multi(state, jnp.asarray(xs), jnp.asarray(ys), key)
+    st_s, seq = state, []
+    for i, k in enumerate(jax.random.split(key, 3)):
+        st_s, l = single(st_s, jnp.asarray(xs[i]), jnp.asarray(ys[i]), k)
+        seq.append(float(l))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq), rtol=1e-5)
+    assert int(st_m.step) == int(st_s.step) == 3
+    # scan vs unrolled programs fuse arithmetic slightly differently; after
+    # 3 Adam steps a handful of params differ at the last float32 ulp or two
+    for a, b in zip(jax.tree.leaves(st_m.params), jax.tree.leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_trainer_steps_per_execution(wav_dataset, tmp_path):
+    """Trainer with steps_per_execution=2 reaches max_steps exactly (multi
+    blocks + a single-step remainder) and still checkpoints."""
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    dm = SpecsDataModule(base_dir=str(wav_dataset), batch_size=4, n_fft=126,
+                         hop_length=32, num_frames=64, num_workers=0)
+    logger = CSVLogger(tmp_path / "logs")
+    trainer = Trainer(model, dm, logger, log_dir=str(tmp_path / "logs"),
+                      max_steps=5, num_devices=4, log_every_n_steps=2,
+                      steps_per_execution=2)
+    state = trainer.fit()
+    assert int(state.step) == 5
+    assert (tmp_path / "logs" / logger.version / "last").exists()
