@@ -496,18 +496,24 @@ class ScoreModel:
             # jax.random.key(0), never a wall-clock seed.
             key = jax.random.key(0)
         start = time.time()
-        y_wav = jnp.asarray(y_wav)
+        y_wav = np.asarray(y_wav) if not isinstance(y_wav, jnp.ndarray) else y_wav
         squeeze = y_wav.ndim == 1
         if squeeze:
             y_wav = y_wav[None]
         t_orig = y_wav.shape[-1]
-        # Floor like the training normalization (data/dataset.py): an all-zero
-        # input (silent chunk from enhance_long) must not divide by zero.
-        norm_factor = jnp.maximum(
-            jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True), 1e-10)
-        y_norm = y_wav / norm_factor
-        Y = self.spec.wav_to_spec(y_norm)[:, None]  # (B, 1, F, T)
-        Y = pad_spec(Y, mode=pad_mode)
+        # Pre-processing as ONE jitted program (cached): normalize + STFT +
+        # compression transform + pad. Running these as eager ops costs one
+        # host/RPC roundtrip each on this backend (~28 ms apiece,
+        # docs/PERFORMANCE.md) — a material fraction of end-to-end RTF.
+        prep = self._cached_program(("enhance_prep", pad_mode), None, lambda: jax.jit(
+            lambda yw: (lambda norm:
+                        (pad_spec(self.spec.wav_to_spec(yw / norm)[:, None],
+                                  mode=pad_mode), norm))(
+                # Floor like the training normalization (data/dataset.py): an
+                # all-zero input (silent chunk from enhance_long) must not
+                # divide by zero.
+                jnp.maximum(jnp.max(jnp.abs(yw), axis=-1, keepdims=True), 1e-10))))
+        Y, norm_factor = prep(y_wav)  # (B, 1, F, T)
 
         # The sampler_type *argument* wins, like the reference's --sampler_type
         # flag (enhancement.py:80-88); the SDE's own sampler_type field is the
@@ -537,8 +543,11 @@ class ScoreModel:
             sample, trajectory = out  # PC program returns (sample, trajectory)
         else:
             sample = out
-        x_hat = self.to_audio(sample[:, 0], t_orig)
-        x_hat = x_hat * norm_factor
+        # Post-processing as ONE jitted program (cached per output length):
+        # inverse transform + iSTFT + un-normalize.
+        post = self._cached_program(("enhance_post", t_orig), None, lambda: jax.jit(
+            lambda s, norm: self.to_audio(s[:, 0], t_orig) * norm))
+        x_hat = post(sample, norm_factor)
         x_hat.block_until_ready()
         end = time.time()
         x_hat = np.asarray(x_hat)
