@@ -328,3 +328,27 @@ def test_trainer_steps_per_execution(wav_dataset, tmp_path):
     state = trainer.fit()
     assert int(state.step) == 5
     assert (tmp_path / "logs" / logger.version / "last").exists()
+
+
+def test_dcunet_train_step(wav_dataset):
+    """DCUNet trains through the same jitted step: finite loss, params move,
+    and its (Complex)BatchNorm running statistics advance through the
+    model_state leg of TrainState — no other backbone exercises that path."""
+    model = ScoreModel("dcunet", "ouve", n_fft=512, hop_length=128,
+                       num_frames=33, num_eval_files=0)
+    state, tx = create_train_state(model, jax.random.key(0))
+    step = jax.jit(make_train_step(model, tx))
+    rng = np.random.default_rng(0)
+    tl = model.spec.target_len
+    x = (0.1 * rng.standard_normal((2, tl))).astype(np.float32)
+    y = x + (0.02 * rng.standard_normal((2, tl))).astype(np.float32)
+    st2, loss = step(state, x, y, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    d = jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                                     state.params, st2.params))
+    assert max(d) > 0
+    if state.model_state:
+        ds = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.model_state, st2.model_state))
+        assert max(ds) > 0, "batch statistics did not advance"
