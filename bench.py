@@ -20,10 +20,11 @@ the launch pattern of the PyTorch reference's PC loop
 TPU-native wins (scan + batching + fusion + mixed precision).
 
 Batch scaling measured on one v5e chip (2.04 s utts, 60 NFE): batch 4 ->
-2.42 audio_s/wall_s, batch 16 -> 9.10, batch 64 -> 8.84 (saturated); the
-trajectory is latency-bound, so cross-utterance batching is ~free up to
-saturation. batch=16 is the default as the knee of that curve. The
-reference-style baseline loop stays at 4 utterances to bound its runtime.
+2.42 audio_s/wall_s, batch 16 -> 9.11, batch 32 -> 9.04, batch 64 -> 8.84;
+flat from 16 up because the program is conv-compute-bound at ~83% MFU
+(docs/PERFORMANCE.md roofline). batch=16 is the default as the knee of that
+curve. The reference-style baseline loop stays at 4 utterances to bound its
+runtime.
 
 Robustness: the axon remote-compile service fails transiently (HTTP 500 /
 UNIMPLEMENTED); every stage retries a few times before giving up.
