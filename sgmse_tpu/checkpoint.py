@@ -103,6 +103,14 @@ class CheckpointPolicies:
         self.best = {"pesq": -np.inf, "si_sdr": -np.inf}
         self._last_interval_step: Optional[int] = None
 
+    def start_from(self, step: int) -> None:
+        """Prime the interval baseline with the run's starting step (call on
+        (re)start, before the first on_train_step). Without this, a multiple
+        crossed INSIDE the first multi-step execution after a resume — e.g.
+        resume at 49,995, first call at 50,005 with interval 50,000 — would
+        compare against step-1 and silently miss the save."""
+        self._last_interval_step = step
+
     def on_train_step(self, step: int, state_tree, config) -> None:
         """Save a kept-forever checkpoint whenever an interval multiple was
         crossed since the previous call. With multi-step execution

@@ -505,14 +505,16 @@ class ScoreModel:
         # compression transform + pad. Running these as eager ops costs one
         # host/RPC roundtrip each on this backend (~28 ms apiece,
         # docs/PERFORMANCE.md) — a material fraction of end-to-end RTF.
-        prep = self._cached_program(("enhance_prep", pad_mode), None, lambda: jax.jit(
-            lambda yw: (lambda norm:
-                        (pad_spec(self.spec.wav_to_spec(yw / norm)[:, None],
-                                  mode=pad_mode), norm))(
-                # Floor like the training normalization (data/dataset.py): an
-                # all-zero input (silent chunk from enhance_long) must not
-                # divide by zero.
-                jnp.maximum(jnp.max(jnp.abs(yw), axis=-1, keepdims=True), 1e-10))))
+        def _prep(yw):
+            # Floor like the training normalization (data/dataset.py): an
+            # all-zero input (silent chunk from enhance_long) must not
+            # divide by zero.
+            norm = jnp.maximum(jnp.max(jnp.abs(yw), axis=-1, keepdims=True), 1e-10)
+            return pad_spec(self.spec.wav_to_spec(yw / norm)[:, None],
+                            mode=pad_mode), norm
+
+        prep = self._cached_program(("enhance_prep", pad_mode), None,
+                                    lambda: jax.jit(_prep))
         Y, norm_factor = prep(y_wav)  # (B, 1, F, T)
 
         # The sampler_type *argument* wins, like the reference's --sampler_type
@@ -548,9 +550,11 @@ class ScoreModel:
         post = self._cached_program(("enhance_post", t_orig), None, lambda: jax.jit(
             lambda s, norm: self.to_audio(s[:, 0], t_orig) * norm))
         x_hat = post(sample, norm_factor)
-        x_hat.block_until_ready()
-        end = time.time()
+        # Stop the clock only after the host transfer: on the axon backend
+        # block_until_ready() does not reliably drain device work
+        # (docs/PERFORMANCE.md methodology note); np.asarray is the fence.
         x_hat = np.asarray(x_hat)
+        end = time.time()
         if squeeze:
             x_hat = x_hat[0]
         if timeit:

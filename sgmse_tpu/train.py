@@ -241,6 +241,7 @@ class Trainer:
         # budget. Losses stay on device and are read back in ONE transfer at
         # each log point, keeping dispatch fully asynchronous in between.
         step = int(state.step)
+        self.policies.start_from(step)
         running_losses, running_samples = [], 0
         last_log = step
         t_start = time.time()

@@ -99,3 +99,15 @@ def test_interval_crossing_with_step_jumps(tmp_path):
     assert (tmp_path / "step_4").exists()
     pol.on_train_step(5, STATE, CONFIG)  # no new multiple crossed
     assert not (tmp_path / "step_5").exists()
+
+
+def test_interval_crossing_after_resume_priming(tmp_path):
+    """start_from() primes the baseline with the run's starting step, so a
+    multiple crossed inside the FIRST execution after a resume still saves
+    (review finding: the step-1 default missed e.g. resume at 49995 ->
+    first call at 50005 with interval 50000)."""
+    pol = CheckpointPolicies(tmp_path, save_ckpt_interval=50000,
+                             monitor_metrics=False)
+    pol.start_from(49995)
+    pol.on_train_step(50005, STATE, CONFIG)
+    assert (tmp_path / "step_50005").exists()

@@ -308,11 +308,17 @@ def test_multi_step_matches_sequential_singles(wav_dataset):
         seq.append(float(l))
     np.testing.assert_allclose(np.asarray(losses), np.asarray(seq), rtol=1e-5)
     assert int(st_m.step) == int(st_s.step) == 3
-    # scan vs unrolled programs fuse arithmetic slightly differently; after
-    # 3 Adam steps a handful of params differ at the last float32 ulp or two
-    for a, b in zip(jax.tree.leaves(st_m.params), jax.tree.leaves(st_s.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-5)
+    # scan vs unrolled programs fuse arithmetic differently; Adam's
+    # grad/sqrt(v) division amplifies tiny float differences on
+    # near-stationary params (observed: ~5e-4 relative on isolated elements
+    # after 3 steps on CPU), so the tolerance is loose-ish by design — the
+    # losses check above pins the forward path at rtol=1e-5.
+    for tree_m, tree_s in ((st_m.params, st_s.params),
+                           (st_m.ema_params, st_s.ema_params)):
+        for a, b in zip(jax.tree.leaves(tree_m), jax.tree.leaves(tree_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+    assert int(st_m.num_updates) == int(st_s.num_updates) == 3
 
 
 def test_trainer_steps_per_execution(wav_dataset, tmp_path):
