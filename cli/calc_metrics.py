@@ -33,7 +33,8 @@ def main():
     args = parser.parse_args()
 
     from sgmse_tpu.data.wav import read_wav, resample
-    from sgmse_tpu.utils.metrics import energy_ratios, mean_std, pesq_wb, stoi
+    from sgmse_tpu.utils.metrics import (energy_ratios, mean_std, pesq_impl,
+                                         pesq_wb, stoi)
 
     data = {"filename": [], "pesq": [], "estoi": [], "si_sdr": [], "si_sir": [],
             "si_sar": []}
@@ -65,6 +66,13 @@ def main():
         data["si_sir"].append(si_sir)
         data["si_sar"].append(si_sar)
 
+    # Provenance: when the builtin (non-conformance) scorer produced the pesq
+    # column, say so IN the artifacts — archived CSVs must never be compared
+    # against published conformance PESQ numbers without knowing the scorer.
+    impl = pesq_impl()
+    if impl != "pesq-conformance":
+        data["pesq_impl"] = [impl] * len(data["filename"])
+
     df = pd.DataFrame(data)
 
     print("PESQ: {:.2f} ± {:.2f}".format(*mean_std(df["pesq"].to_numpy())))
@@ -79,6 +87,9 @@ def main():
         log.write("SI-SDR: {:.1f} ± {:.2f}".format(*mean_std(df["si_sdr"].to_numpy())) + "\n")
         log.write("SI-SIR: {:.1f} ± {:.1f}".format(*mean_std(df["si_sir"].to_numpy())) + "\n")
         log.write("SI-SAR: {:.1f} ± {:.1f}".format(*mean_std(df["si_sar"].to_numpy())) + "\n")
+        if impl != "pesq-conformance":
+            log.write(f"# pesq scored by {impl} (rank-faithful, NOT "
+                      "ITU-conformance-certified; install `pesq` for certified numbers)\n")
 
     df.to_csv(join(args.enhanced_dir, "_results.csv"), index=False)
 

@@ -31,16 +31,30 @@ def _to_saveable(tree):
 
 def save_checkpoint(path: os.PathLike, state_tree: Dict[str, Any],
                     config: Dict[str, Any]) -> None:
-    """Save a state pytree + config dict to `path` (a directory)."""
+    """Save a state pytree + config dict to `path` (a directory), atomically.
+
+    The write goes to a `.tmp` sibling first and is moved into place only
+    once complete, so a crash mid-save can never destroy the previous
+    checkpoint at `path` — the artifact crash-recovery depends on (the
+    reference relies on Lightning's same atomic-replace behavior).
+    """
     path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.parent / (path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(tmp), _to_saveable(state_tree))
+    ckptr.wait_until_finished()
+    with open(tmp / "config.json", "w") as f:
+        json.dump(config, f, indent=2, default=str)
+    # Atomic-enough replace: the old checkpoint disappears only after the new
+    # one is fully on disk (os.replace cannot swap non-empty dirs portably,
+    # so delete-then-rename; the completed tmp dir survives a crash between
+    # the two and is trivially recoverable by hand).
     if path.exists():
         shutil.rmtree(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(str(path), _to_saveable(state_tree))
-    ckptr.wait_until_finished()
-    with open(path / "config.json", "w") as f:
-        json.dump(config, f, indent=2, default=str)
+    os.rename(tmp, path)
 
 
 def load_checkpoint(path: os.PathLike, target: Optional[Any] = None
@@ -122,7 +136,12 @@ class CheckpointPolicies:
             else step - 1
         self._last_interval_step = step
         if step // self.save_ckpt_interval > prev // self.save_ckpt_interval:
-            save_checkpoint(self.log_dir / f"step_{step}", state_tree, config)
+            # Name the directory after the crossed interval multiple (the
+            # reference's step_{k*interval} convention), not the post-jump
+            # step: with steps_per_execution > 1 the counter lands past the
+            # multiple (e.g. 50,005 for interval 50,000).
+            named = (step // self.save_ckpt_interval) * self.save_ckpt_interval
+            save_checkpoint(self.log_dir / f"step_{named}", state_tree, config)
 
     def on_validation(self, step: int, state_tree, config,
                       metrics: Dict[str, float]) -> None:

@@ -151,9 +151,14 @@ class WavLoader:
 
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
+        # Crop seeds are drawn here, in the main thread, one per batch index —
+        # NOT inside load_batch, which runs on pool workers where concurrent
+        # draws on one np.random.Generator would make the seed→batch mapping
+        # scheduling-dependent (and Generator is not thread-safe). With a
+        # fixed loader seed the crops are now reproducible run-to-run.
+        batch_seeds = [int(s) for s in rng.integers(0, 2**31, size=len(batches))]
 
-        def load_batch(idxs):
-            batch_seed = int(rng.integers(0, 2**31))
+        def load_batch(idxs, batch_seed):
             if self.use_native:
                 # One native call decodes + crops + normalizes the whole batch
                 # with a C++ thread pool (data/native/wavload.cc), no GIL.
@@ -186,16 +191,16 @@ class WavLoader:
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
             # Keep a window of in-flight batch futures (prefetch depth = workers).
             futures = []
-            it = iter(batches)
+            it = iter(zip(batches, batch_seeds))
             for _ in range(self.num_workers):
                 try:
-                    futures.append(ex.submit(load_batch, next(it)))
+                    futures.append(ex.submit(load_batch, *next(it)))
                 except StopIteration:
                     break
             while futures:
                 fut = futures.pop(0)
                 try:
-                    futures.append(ex.submit(load_batch, next(it)))
+                    futures.append(ex.submit(load_batch, *next(it)))
                 except StopIteration:
                     pass
                 yield fut.result()

@@ -89,7 +89,12 @@ def istft(
 
     Args:
         spec: complex spectrogram ``(..., n_fft//2 + 1, num_frames)``.
-        length: if given, the output is trimmed/zero-padded to exactly this length.
+        length: if given, the output is trimmed/zero-padded to exactly this
+            length. DOCUMENTED DIVERGENCE from ``torch.istft``: torch raises
+            when ``length`` exceeds the reconstructable sample count, while
+            this zero-pads the tail. Raising would be a trace-time error on a
+            value the pipeline always keeps in range (lengths are derived from
+            the forward STFT); the extension is deliberate and benign.
     Returns:
         real signal ``(..., L)``.
     """

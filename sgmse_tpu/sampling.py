@@ -377,7 +377,7 @@ def ode_sampler_program(
         if denoise:
             x = denoise_step(x, y)
             nfe = nfe + 1
-        return x, nfe
+        return x, nfe, t
 
     ts = jnp.linspace(sde.T, eps, n + 1)
 
@@ -401,7 +401,18 @@ def ode_sampler_program(
 
     if method == "rk45":
         def program(key, y):
-            x, nfe = rk45_sampler(key, y)
+            x, nfe, t_final = rk45_sampler(key, y)
+            # The while_loop is bounded by max_steps; if it ran out before
+            # reaching t=eps (e.g. a too-tight rtol on a long utterance) the
+            # returned state is only partially integrated — surface it loudly
+            # instead of returning silently wrong audio. t_final is already on
+            # host-bound path (int(nfe) forces readback), so this is free.
+            if float(t_final) > eps + 1e-6:
+                import warnings
+                warnings.warn(
+                    f"ODE sampler hit max_steps={max_steps} at t={float(t_final):.4f} "
+                    f"before reaching t_eps={eps}; result is partially integrated. "
+                    "Raise max_steps or loosen rtol/atol.")
             return x, int(nfe)
         return program
     elif method == "rk4":

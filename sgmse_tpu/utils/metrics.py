@@ -221,6 +221,18 @@ def stoi(x: np.ndarray, y: np.ndarray, fs_sig: int, extended: bool = False) -> f
 _PESQ_WARNED = False
 
 
+def pesq_impl() -> str:
+    """Which PESQ implementation `pesq_wb` will use: 'pesq-conformance' (the
+    ITU-certified C extension) or 'builtin-p862' (rank-faithful fallback).
+    Callers writing metric artifacts should record this so archived scores
+    are never mistaken for conformance numbers (cli/calc_metrics.py does)."""
+    try:
+        import pesq  # noqa: F401
+        return "pesq-conformance"
+    except ImportError:
+        return "builtin-p862"
+
+
 def pesq_wb(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
     """PESQ MOS-LQO: conformance `pesq` package if installed, else the
     built-in P.862-structured implementation (`sgmse_tpu.utils.p862`).
@@ -233,9 +245,17 @@ def pesq_wb(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> floa
     global _PESQ_WARNED
     try:
         from pesq import pesq as _pesq
-        return float(_pesq(fs, ref, deg, mode))
     except ImportError:
-        pass
+        _pesq = None
+    if _pesq is not None:
+        try:
+            return float(_pesq(fs, ref, deg, mode))
+        except Exception:
+            # Match the fallback path's error contract: the pesq package
+            # raises (e.g. NoUtterancesError on a silent validation clip)
+            # where the builtin maps to NaN; a crash mid-validation is worse
+            # than a NaN — mean_std and the checkpoint policies are NaN-robust.
+            return float("nan")
     if not _PESQ_WARNED:
         warnings.warn(
             "`pesq` conformance package not installed — falling back to the "

@@ -94,7 +94,9 @@ def test_interval_crossing_with_step_jumps(tmp_path):
     pol.on_train_step(1, STATE, CONFIG)
     assert not list(tmp_path.glob("step_*"))
     pol.on_train_step(3, STATE, CONFIG)  # jumped over the multiple 2
-    assert (tmp_path / "step_3").exists()
+    # named after the CROSSED MULTIPLE (reference step_{k*interval} style),
+    # not the post-jump step (ADVICE r2)
+    assert (tmp_path / "step_2").exists()
     pol.on_train_step(4, STATE, CONFIG)  # exact multiple still fires
     assert (tmp_path / "step_4").exists()
     pol.on_train_step(5, STATE, CONFIG)  # no new multiple crossed
@@ -110,4 +112,30 @@ def test_interval_crossing_after_resume_priming(tmp_path):
                              monitor_metrics=False)
     pol.start_from(49995)
     pol.on_train_step(50005, STATE, CONFIG)
-    assert (tmp_path / "step_50005").exists()
+    assert (tmp_path / "step_50000").exists()
+
+
+def test_save_is_atomic_under_crash(tmp_path, monkeypatch):
+    """A crash mid-save must not destroy the previous checkpoint at the same
+    path (VERDICT r2 weak #2: rmtree-then-save lost `last/` on crash)."""
+    import orbax.checkpoint as ocp
+    from sgmse_tpu.checkpoint import load_checkpoint
+
+    save_checkpoint(tmp_path / "last", STATE, CONFIG)
+    orig_save = ocp.StandardCheckpointer.save
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("simulated crash mid-save")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+    with np.testing.assert_raises(RuntimeError):
+        save_checkpoint(tmp_path / "last", dict(STATE, step=np.int32(99)), CONFIG)
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", orig_save)
+    # The original checkpoint is intact and loadable.
+    state, _ = load_checkpoint(tmp_path / "last")
+    assert int(state["step"]) == int(STATE["step"])
+    # A successful re-save replaces it and leaves no .tmp litter behind.
+    save_checkpoint(tmp_path / "last", dict(STATE, step=np.int32(7)), CONFIG)
+    state, _ = load_checkpoint(tmp_path / "last")
+    assert int(state["step"]) == 7
+    assert not list(tmp_path.glob("*.tmp"))
