@@ -17,7 +17,11 @@ batch=1 per utterance, float32 (the reference's math), and a host-driven
 Python loop over the 2N predictor/corrector calls with a host sync per step —
 the launch pattern of the PyTorch reference's PC loop
 (sampling/__init__.py:52-68). Same model, same chip; the ratio captures the
-TPU-native wins (scan + batching + fusion + mixed precision).
+TPU-native wins (scan + batching + fusion + mixed precision). PyTorch itself
+cannot run on this TPU; the proxy was calibrated against REAL torch on CPU
+(tools/calibrate_baseline.py): proxy wall = 1.16x actual torch wall at the
+same 60-NFE config, so vs_baseline is a proxy-measured number with a
+real-torch anchor (see BASELINE.md section (c) methodology note).
 
 Batch scaling measured on one v5e chip (2.04 s utts, 60 NFE): batch 4 ->
 2.42 audio_s/wall_s, batch 16 -> 9.11, batch 32 -> 9.04, batch 64 -> 8.84;

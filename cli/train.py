@@ -16,6 +16,26 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def maybe_init_distributed(args):
+    """Bootstrap JAX multi-process coordination (reference: Lightning spawns
+    DDP processes, train.py:104; here each host process is launched externally
+    and joins the coordination service).
+
+    Activated by --coordinator_address/--num_processes/--process_id or
+    --distributed auto (which lets jax.distributed.initialize() auto-detect a
+    TPU pod environment). Must run before any JAX backend is touched.
+    """
+    import jax
+
+    if args.coordinator_address or args.num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+    elif args.distributed == "auto":
+        jax.distributed.initialize()
+
+
 def get_argparse_groups(parser, args):
     groups = {}
     for group in parser._action_groups:
@@ -49,7 +69,19 @@ def main():
                              help="Directory to save logs.")
         parser_.add_argument("--save_ckpt_interval", type=int, default=50000,
                              help="Save checkpoint interval.")
+        parser_.add_argument("--distributed", type=str, default="none",
+                             choices=("none", "auto"),
+                             help="'auto' calls jax.distributed.initialize() with "
+                                  "environment auto-detection (TPU pods).")
+        parser_.add_argument("--coordinator_address", type=str, default=None,
+                             help="host:port of process 0's JAX coordination "
+                                  "service (multi-host training).")
+        parser_.add_argument("--num_processes", type=int, default=None,
+                             help="Total number of host processes (multi-host).")
+        parser_.add_argument("--process_id", type=int, default=None,
+                             help="This process's index in [0, num_processes).")
     temp_args, _ = base_parser.parse_known_args()
+    maybe_init_distributed(temp_args)
 
     backbone_cls = BackboneRegistry.get_by_name(temp_args.backbone)
     sde_class = SDERegistry.get_by_name(temp_args.sde)
@@ -100,7 +132,7 @@ def main():
         num_devices=num_devices,
         steps_per_execution=args.steps_per_execution,
     )
-    trainer.fit(ckpt_path=args.ckpt)
+    return trainer.fit(ckpt_path=args.ckpt)
 
 
 if __name__ == "__main__":

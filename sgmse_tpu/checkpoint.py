@@ -29,6 +29,27 @@ def _to_saveable(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+def _make_checkpointer():
+    """Checkpointer whose barriers never span processes.
+
+    In a multi-process runtime the default StandardCheckpointer participates
+    in GLOBAL barriers on save/restore — a save gated to process 0 (our
+    single-writer design: params are replicated, so its copy IS the global
+    state) would deadlock waiting for peers that never call save. A singleton
+    active-process group makes save/restore process-local: any process can
+    independently write (rank-0 gating lives in the Trainer) or read (every
+    process restores the same files on resume).
+    """
+    if jax.process_count() > 1:
+        pid = jax.process_index()
+        opts = ocp.options.MultiprocessingOptions(
+            primary_host=pid, active_processes={pid},
+            barrier_sync_key_prefix=f"sgmse_proc{pid}")
+        return ocp.Checkpointer(ocp.StandardCheckpointHandler(),
+                                multiprocessing_options=opts)
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(path: os.PathLike, state_tree: Dict[str, Any],
                     config: Dict[str, Any]) -> None:
     """Save a state pytree + config dict to `path` (a directory), atomically.
@@ -43,9 +64,10 @@ def save_checkpoint(path: os.PathLike, state_tree: Dict[str, Any],
     tmp = path.parent / (path.name + ".tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _make_checkpointer()
     ckptr.save(str(tmp), _to_saveable(state_tree))
-    ckptr.wait_until_finished()
+    if hasattr(ckptr, "wait_until_finished"):
+        ckptr.wait_until_finished()
     with open(tmp / "config.json", "w") as f:
         json.dump(config, f, indent=2, default=str)
     # Atomic-enough replace: the old checkpoint disappears only after the new
@@ -63,7 +85,7 @@ def load_checkpoint(path: os.PathLike, target: Optional[Any] = None
     path = Path(path).absolute()
     with open(path / "config.json") as f:
         config = json.load(f)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _make_checkpointer()
     if target is not None:
         state = ckptr.restore(str(path), target)
     else:

@@ -303,6 +303,9 @@ class NCSNpp(NCSNppBase):
 
     @staticmethod
     def add_argparse_args(parser):
+        parser.add_argument("--nf", type=int, default=128,
+                            help="Base channel count (the reference hardcodes "
+                                 "128; exposed here for small-scale runs).")
         parser.add_argument("--ch_mult", type=int, nargs="+", default=[1, 1, 2, 2, 2, 2, 2])
         parser.add_argument("--num_res_blocks", type=int, default=2)
         parser.add_argument("--attn_resolutions", type=int, nargs="+", default=[16])

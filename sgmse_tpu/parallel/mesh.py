@@ -34,10 +34,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding: NamedSharding):
+    """Place process-local host data onto a (possibly multi-host) sharding.
+
+    Single-process: plain device_put. Multi-process SPMD: each host holds only
+    its shard of the global batch (WavLoader shards files by process_index),
+    so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the JAX analogue of the
+    reference's DistributedSampler + DDP input pipeline (train.py:104).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host numpy batch onto the mesh, sharded over the batch dim."""
     sharding = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _put(x, sharding), batch)
 
 
 def stacked_data_sharding(mesh: Mesh) -> NamedSharding:
@@ -49,9 +63,11 @@ def stacked_data_sharding(mesh: Mesh) -> NamedSharding:
 def shard_stacked_batch(mesh: Mesh, batch):
     """Place a (steps, batch, ...) host stack onto the mesh (batch-dim sharded)."""
     sharding = stacked_data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _put(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a host tree over the mesh. Multi-process: every host passes
+    the same full value (states are seeded identically on all processes)."""
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _put(x, sharding), tree)

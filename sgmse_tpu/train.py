@@ -174,7 +174,23 @@ class Trainer:
         self.steps_per_execution = max(1, int(steps_per_execution))
 
         self.mesh = make_data_mesh(num_devices)
-        ckpt_dir = Path(log_dir) / str(logger.version)
+        # Multi-host SPMD: checkpoints/logs are written by process 0 only
+        # (params are replicated, so its copy is the global state); every
+        # process still participates in the collective train step and the
+        # cross-host metric reduction below.
+        self.is_main = jax.process_index() == 0
+        version = str(logger.version)
+        if jax.process_count() > 1:
+            # All processes must agree on the run directory (shared fs in a
+            # real pod; CSVLogger's version_N auto-increment is racy across
+            # processes) — broadcast process 0's version string.
+            from jax.experimental import multihost_utils
+            buf = np.zeros(64, np.uint8)
+            enc = version.encode()[:64]
+            buf[: len(enc)] = np.frombuffer(enc, np.uint8)
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            version = bytes(buf).rstrip(b"\x00").decode()
+        ckpt_dir = Path(log_dir) / version
         self.policies = CheckpointPolicies(ckpt_dir, save_ckpt_interval,
                                            monitor_metrics=model.num_eval_files > 0)
 
@@ -257,15 +273,17 @@ class Trainer:
                 avg = float(jnp.concatenate(
                     [jnp.atleast_1d(l) for l in running_losses]).mean())
                 rate = running_samples / (time.time() - t_start)
-                self.logger.log_metrics(
-                    {"train_loss": avg, "samples_per_sec": rate}, step)
-                print(f"step {step}: train_loss={avg:.4f} "
-                      f"({rate:.1f} samples/s)", flush=True)
+                if self.is_main:
+                    self.logger.log_metrics(
+                        {"train_loss": avg, "samples_per_sec": rate}, step)
+                    print(f"step {step}: train_loss={avg:.4f} "
+                          f"({rate:.1f} samples/s)", flush=True)
                 running_losses.clear()
                 running_samples = 0
                 last_log = step
                 t_start = time.time()
-            self.policies.on_train_step(step, self._state_tree(state), config)
+            if self.is_main:
+                self.policies.on_train_step(step, self._state_tree(state), config)
             if self.max_steps >= 0 and step >= self.max_steps:
                 done = True
 
@@ -307,9 +325,10 @@ class Trainer:
             if not done:
                 epoch += 1
             metrics = self.validate(state, valid_step, valid_loader, key)
-            self.logger.log_metrics(metrics, step)
-            self.policies.on_validation(step, self._state_tree(state),
-                                        config, metrics)
+            if self.is_main:
+                self.logger.log_metrics(metrics, step)
+                self.policies.on_validation(step, self._state_tree(state),
+                                            config, metrics)
         return state
 
     def validate(self, state: TrainState, valid_step, valid_loader, key
@@ -335,8 +354,29 @@ class Trainer:
             noisy = shard_eval_files(noisy)
             key, sub = jax.random.split(key)
             ema_vars = {"params": state.ema_params, **state.model_state}
-            eval_metrics = evaluate_model(model, ema_vars, clean, noisy,
-                                          num_eval_files=len(clean), key=sub,
-                                          N=model.sde.N)
-            metrics.update(eval_metrics)
+            multihost = jax.process_count() > 1
+            if multihost:
+                # Each host enhances a DIFFERENT file shard with different
+                # shapes, so the sampler programs must be host-local — pull
+                # the replicated params to host memory first (they are fully
+                # addressable); running global-mesh arrays through per-host
+                # programs of differing shapes would deadlock the collective.
+                ema_vars = jax.tree.map(np.asarray, ema_vars)
+            eval_sums = evaluate_model(model, ema_vars, clean, noisy,
+                                       num_eval_files=len(clean), key=sub,
+                                       N=model.sde.N, return_sums=True)
+            if multihost:
+                # Cross-host weighted-mean reduction — the analogue of the
+                # reference's sync_dist=True metric all-reduce (model.py:202).
+                from jax.experimental import multihost_utils
+                names = sorted(eval_sums)
+                local = np.array([[eval_sums[k][0] for k in names],
+                                  [eval_sums[k][1] for k in names]], np.float64)
+                gathered = multihost_utils.process_allgather(local)  # (P, 2, M)
+                totals = gathered.sum(axis=0)
+                eval_sums = {k: (totals[0][i], totals[1][i])
+                             for i, k in enumerate(names)}
+            # Plain Python floats: numpy scalars would crash the JSONL logger.
+            metrics.update({k: (float(s) / float(c) if c else float("nan"))
+                            for k, (s, c) in eval_sums.items()})
         return metrics

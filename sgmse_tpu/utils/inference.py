@@ -46,14 +46,20 @@ def evaluate_model(model, variables, clean_files: Sequence[str],
                    noisy_files: Sequence[str], num_eval_files: int,
                    key=None, N: int = EVAL_N, snr: float = EVAL_SNR,
                    corrector_steps: int = EVAL_CORRECTOR_STEPS,
-                   sr: Optional[int] = None, batch_size: int = 4
-                   ) -> Dict[str, float]:
+                   sr: Optional[int] = None, batch_size: int = 4,
+                   return_sums: bool = False) -> Dict[str, float]:
     """Enhance `num_eval_files` files and return mean pesq/si_sdr/estoi.
 
     Files are bucketed by padded spectrogram length and enhanced batched
     (``batch_size`` utterances per jitted program call) — the reference runs
     one N-step sampler per file (inference.py:36-45); same math, better
     device utilization. Metrics are still computed per file on the host.
+
+    Accumulation is NaN-aware per metric (a silent clip scoring NaN PESQ is
+    skipped for that metric only, like the NaN-robust mean_std elsewhere).
+    With ``return_sums=True`` the dict instead holds ``{metric: (sum, count)}``
+    so callers can reduce across hosts before taking the mean (the analogue of
+    the reference's ``sync_dist=True``, model.py:202).
     """
     import numpy as np
 
@@ -74,7 +80,14 @@ def evaluate_model(model, variables, clean_files: Sequence[str],
         padded = -(-frames // 64) * 64
         buckets.setdefault(padded, []).append((x, y, sr_x))
 
-    pesq_sum, si_sdr_sum, estoi_sum, count = 0.0, 0.0, 0.0, 0
+    sums = {"pesq": [0.0, 0], "si_sdr": [0.0, 0], "estoi": [0.0, 0]}
+
+    def _accumulate(name, value):
+        value = float(value)
+        if np.isfinite(value):
+            sums[name][0] += value
+            sums[name][1] += 1
+
     for padded in sorted(buckets):
         group = buckets[padded]
         for i in range(0, len(group), batch_size):
@@ -88,12 +101,10 @@ def evaluate_model(model, variables, clean_files: Sequence[str],
                 x_hat = np.asarray(x_hat_padded)[: len(y)]
                 x_16k = resample(x, sr_x, 16000) if sr_x != 16000 else x
                 x_hat_16k = resample(x_hat, sr, 16000) if sr != 16000 else x_hat
-                pesq_sum += pesq_wb(16000, x_16k, x_hat_16k, "wb")
-                si_sdr_sum += si_sdr(x, x_hat)
-                estoi_sum += stoi(x, x_hat, sr_x, extended=True)
-                count += 1
+                _accumulate("pesq", pesq_wb(16000, x_16k, x_hat_16k, "wb"))
+                _accumulate("si_sdr", si_sdr(x, x_hat))
+                _accumulate("estoi", stoi(x, x_hat, sr_x, extended=True))
 
-    if count == 0:
-        return {"pesq": float("nan"), "si_sdr": float("nan"), "estoi": float("nan")}
-    return {"pesq": pesq_sum / count, "si_sdr": si_sdr_sum / count,
-            "estoi": estoi_sum / count}
+    if return_sums:
+        return {k: (s, c) for k, (s, c) in sums.items()}
+    return {k: (s / c if c else float("nan")) for k, (s, c) in sums.items()}
