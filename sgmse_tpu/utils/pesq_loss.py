@@ -167,8 +167,13 @@ class PesqLoss:
 
         widths = jnp.asarray(_WIDTHS)
         # Symmetric disturbance: width-weighted L2 over bands (per frame).
+        # _EPS inside the root: the masked density `d` is EXACTLY zero
+        # wherever |l_deg - l_ref| <= mask (and everywhere when deg == ref),
+        # and d/dx sqrt(x) -> inf at x=0 — without the guard the loss VALUE is
+        # finite but its GRADIENT is NaN, which silently NaN'd the whole
+        # data_prediction training run one optimizer step later.
         d_sym = jnp.sqrt(jnp.sum((d ** 2) * widths, axis=-1) /
-                         (jnp.sum(widths) + _EPS))  # (B, T)
+                         (jnp.sum(widths)) + _EPS)  # (B, T)
 
         # Asymmetric disturbance: penalize additive distortions more.
         asym = ((deg_eq + 50.0) / (ref_eq + 50.0)) ** 1.2
@@ -184,9 +189,13 @@ class PesqLoss:
             w = jnp.pad(active, ((0, 0), (0, t_pad)))
             blocks = padded.reshape(b, -1, blk)
             wb = w.reshape(b, -1, blk)
+            # Same zero-gradient hazard as d_sym: x^(1/6) and sqrt(x) have
+            # infinite slope at x=0, and all-silent (or fully-masked) blocks
+            # produce exact zeros. The epsilon biases l6 by (1e-12)^(1/6)=1e-2
+            # — negligible against disturbance magnitudes of O(1..100).
             l6 = (jnp.sum(wb * blocks ** 6, axis=-1)
-                  / (jnp.sum(wb, axis=-1) + _EPS)) ** (1.0 / 6.0)
-            l2 = jnp.sqrt(jnp.mean(l6 ** 2, axis=-1))
+                  / (jnp.sum(wb, axis=-1) + _EPS) + _EPS) ** (1.0 / 6.0)
+            l2 = jnp.sqrt(jnp.mean(l6 ** 2, axis=-1) + _EPS)
             return l2
 
         return aggregate(d_sym), aggregate(d_asym)

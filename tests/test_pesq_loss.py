@@ -74,3 +74,24 @@ def test_batched_and_jitted(signals):
 def test_rejects_other_sample_rates():
     with pytest.raises(ValueError):
         PesqLoss(1.0, sample_rate=48000)
+
+
+def test_gradient_finite_at_identical_and_silent_inputs():
+    """NaN-gradient regression (round 3): with deg == ref the masked
+    disturbance density is EXACTLY zero, and the un-guarded sqrt/pow
+    aggregations had infinite slope at 0 — the loss value was finite but its
+    gradient was NaN, which NaN'd the whole SB data_prediction training run
+    (--pesq_weight 5e-4) after one optimizer step."""
+    loss = PesqLoss(1.0)
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.standard_normal(16000).astype(np.float32) * 0.3)
+
+    g = jax.grad(lambda d: loss(ref, d).sum())(ref)  # deg == ref
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    g0 = jax.grad(lambda d: loss(ref, d).sum())(jnp.zeros_like(ref))  # silence
+    assert np.all(np.isfinite(np.asarray(g0)))
+
+    # Both-silent: fully degenerate input must still be finite.
+    gs = jax.grad(lambda d: loss(jnp.zeros_like(ref), d).sum())(jnp.zeros_like(ref))
+    assert np.all(np.isfinite(np.asarray(gs)))
