@@ -43,7 +43,7 @@ def main():
     parser.add_argument("--seed", type=int, default=0, help="Sampling RNG seed")
     parser.add_argument("--timeit", action="store_true",
                         help="Print total RTF over the run (excludes jit warmup: "
-                             "the first program of each shape bucket is compiled "
+                             "every program shape the run will use is compiled "
                              "before the clock starts)")
     parser.add_argument("--chunk_seconds", type=float, default=None,
                         help="Enhance long files in overlapping chunks of this "
@@ -58,6 +58,9 @@ def main():
     import time
 
     import jax
+
+    from sgmse_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from sgmse_tpu.checkpoint import load_score_model
     from sgmse_tpu.data.wav import read_wav, resample, write_wav
@@ -122,29 +125,41 @@ def main():
             y = resample(y, sr, target_sr)
         items.append((filename, y))
 
+    # Build the batched work plan up front (chunks of <= batch_size utterances
+    # whose padded frame count matches, padded to the chunk's longest) so the
+    # --timeit warm-up can compile EVERY program shape the timed loop will
+    # use — not just the first bucket's.
+    chunks = None
+    if args.batch_size > 1:
+        hop = model.spec.hop_length
+        buckets = {}
+        for filename, y in items:
+            frames = 1 + len(y) // hop
+            padded_frames = -(-frames // 64) * 64
+            buckets.setdefault(padded_frames, []).append((filename, y))
+        chunks = []
+        for padded_frames, group in sorted(buckets.items()):
+            for i in range(0, len(group), args.batch_size):
+                chunks.append(group[i:i + args.batch_size])
+
     if args.timeit and items:
-        # Compile outside the timed region, with exactly the shape the timed
-        # loop will use first. With --chunk_seconds, warm up ONE chunk-sized
-        # segment (never the full waveform — the whole point of chunking is
-        # to avoid compiling/running the unbounded-length program).
+        # Compile outside the timed region, once per unique program shape.
+        # With --chunk_seconds, warm up ONE chunk-sized segment (never the
+        # full waveform — the whole point of chunking is to avoid compiling
+        # the unbounded-length program; all chunks share one padded shape).
         if args.batch_size <= 1:
-            _, y0 = items[0]
             if args.chunk_seconds is not None:
-                seg = y0[: int(args.chunk_seconds * target_sr)]
+                seg = items[0][1][: int(args.chunk_seconds * target_sr)]
                 model.enhance(variables, seg, key=key, **sampler_kwargs)
             else:
-                model.enhance(variables, y0, key=key, **sampler_kwargs)
+                for length in sorted({len(y) for _, y in items}):
+                    model.enhance(variables, np.zeros(length, np.float32),
+                                  key=key, **sampler_kwargs)
         else:
-            hop = model.spec.hop_length
-            buckets_warm = {}
-            for filename, y in items:
-                frames = 1 + len(y) // hop
-                buckets_warm.setdefault(-(-frames // 64) * 64, []).append(y)
-            first = sorted(buckets_warm)[0]
-            chunk = buckets_warm[first][: args.batch_size]
-            maxlen = max(len(y) for y in chunk)
-            yb = np.stack([np.pad(y, (0, maxlen - len(y))) for y in chunk])
-            model.enhance(variables, yb, key=key, **sampler_kwargs)
+            for batch, maxlen in sorted({
+                    (len(c), max(len(y) for _, y in c)) for c in chunks}):
+                model.enhance(variables, np.zeros((batch, maxlen), np.float32),
+                              key=key, **sampler_kwargs)
 
     total_audio_s, t0 = 0.0, time.time()
     if args.batch_size <= 1:
@@ -162,27 +177,17 @@ def main():
             total_audio_s += len(y) / target_sr
             print(filename)
     else:
-        # Bucket utterances whose padded frame count matches; pad waveforms within
-        # a bucket to the longest and enhance batched.
-        hop = model.spec.hop_length
-        buckets = {}
-        for filename, y in items:
-            frames = 1 + len(y) // hop
-            padded_frames = -(-frames // 64) * 64
-            buckets.setdefault(padded_frames, []).append((filename, y))
-        for padded_frames, group in sorted(buckets.items()):
-            for i in range(0, len(group), args.batch_size):
-                chunk = group[i:i + args.batch_size]
-                maxlen = max(len(y) for _, y in chunk)
-                yb = np.stack([np.pad(y, (0, maxlen - len(y))) for _, y in chunk])
-                key, sub = jax.random.split(key)
-                x_hat = model.enhance(variables, yb, key=sub, **sampler_kwargs)
-                for (filename, y), xh in zip(chunk, x_hat):
-                    out = join(args.enhanced_dir, filename)
-                    makedirs(dirname(out), exist_ok=True)
-                    write_wav(out, xh[: len(y)], target_sr)
-                    total_audio_s += len(y) / target_sr
-                    print(filename)
+        for chunk in chunks:
+            maxlen = max(len(y) for _, y in chunk)
+            yb = np.stack([np.pad(y, (0, maxlen - len(y))) for _, y in chunk])
+            key, sub = jax.random.split(key)
+            x_hat = model.enhance(variables, yb, key=sub, **sampler_kwargs)
+            for (filename, y), xh in zip(chunk, x_hat):
+                out = join(args.enhanced_dir, filename)
+                makedirs(dirname(out), exist_ok=True)
+                write_wav(out, xh[: len(y)], target_sr)
+                total_audio_s += len(y) / target_sr
+                print(filename)
 
     if args.timeit and total_audio_s > 0:
         wall = time.time() - t0

@@ -83,6 +83,11 @@ def main():
     temp_args, _ = base_parser.parse_known_args()
     maybe_init_distributed(temp_args)
 
+    # After distributed init: the cache keys per-process subdirs off
+    # jax.process_index() in multi-process runs.
+    from sgmse_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     backbone_cls = BackboneRegistry.get_by_name(temp_args.backbone)
     sde_class = SDERegistry.get_by_name(temp_args.sde)
 
@@ -122,7 +127,9 @@ def main():
         },
     )
     data_module = SpecsDataModule(**vars(arg_groups["DataModule"]))
-    logger = make_logger(args.nolog, args.log_dir, args.wandb_name)
+    import jax
+    logger = make_logger(args.nolog, args.log_dir, args.wandb_name,
+                         is_main=jax.process_index() == 0)
     num_devices = None if args.devices == "auto" else int(args.devices)
     trainer = Trainer(
         model, data_module, logger, log_dir=args.log_dir,

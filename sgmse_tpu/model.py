@@ -496,23 +496,23 @@ class ScoreModel:
             # Deterministic default (see enhance_long): key=None always means
             # jax.random.key(0), never a wall-clock seed.
             key = jax.random.key(0)
-        if timeit:
-            # jit caches executables per input shape: the first enhance() call
-            # for a given (batch, length) shape pays the compile (~tens of
-            # seconds on a remote-compile backend) INSIDE the timed window.
-            # The CLI warms up per shape bucket (cli/enhance.py); programmatic
-            # callers get a one-time heads-up instead of a silently inflated
-            # RTF. (The reference has the same flaw, model.py:460-463.)
-            seen = getattr(self, "_timed_shapes", None)
-            if seen is None:
-                seen = self._timed_shapes = set()
-            shp = tuple(np.shape(y_wav))
-            if shp not in seen:
-                seen.add(shp)
-                warnings.warn(
-                    f"enhance(timeit=True): first call for input shape {shp} — "
-                    "the reported RTF likely includes jit compilation. Run one "
-                    "warm-up enhance() with the same shape for steady-state RTF.")
+        # jit caches executables per input shape: the first enhance() call
+        # for a given (batch, length) shape pays the compile (~tens of
+        # seconds on a remote-compile backend). Track shapes across ALL
+        # calls (not just timed ones) so a caller that warms up with
+        # timeit=False and then measures with timeit=True gets no false
+        # warning. (The reference has the same flaw, model.py:460-463.)
+        seen = getattr(self, "_seen_shapes", None)
+        if seen is None:
+            seen = self._seen_shapes = set()
+        shp = tuple(np.shape(y_wav))
+        first_for_shape = shp not in seen
+        seen.add(shp)
+        if timeit and first_for_shape:
+            warnings.warn(
+                f"enhance(timeit=True): first call for input shape {shp} — "
+                "the reported RTF likely includes jit compilation. Run one "
+                "warm-up enhance() with the same shape for steady-state RTF.")
         start = time.time()
         y_wav = np.asarray(y_wav) if not isinstance(y_wav, jnp.ndarray) else y_wav
         squeeze = y_wav.ndim == 1

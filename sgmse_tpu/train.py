@@ -247,7 +247,8 @@ class Trainer:
         valid_step = make_valid_step(model)
         state = replicate(self.mesh, state)
         config = model.config_dict()
-        self.logger.log_hparams(config)
+        if self.is_main:
+            self.logger.log_hparams(config)
 
         epoch = 0
         # Host-side step counter: the device step increments by exactly 1 per
@@ -263,11 +264,15 @@ class Trainer:
         t_start = time.time()
         done = False
 
+        # batch_size below is the per-process local batch; in a multi-host run
+        # every process feeds its own shard, so global throughput is P× that.
+        n_proc = jax.process_count()
+
         def after_execution(n_steps, losses, batch_size):
             nonlocal step, running_samples, last_log, t_start, done
             step += n_steps
             running_losses.append(losses)  # scalar or (k,) device array
-            running_samples += n_steps * batch_size
+            running_samples += n_steps * batch_size * n_proc
             n = self.log_every_n_steps
             if step // n > last_log // n:
                 avg = float(jnp.concatenate(
@@ -334,14 +339,38 @@ class Trainer:
     def validate(self, state: TrainState, valid_step, valid_loader, key
                  ) -> Dict[str, float]:
         model = self.model
+        multihost = jax.process_count() > 1
+        rank, world = jax.process_index(), jax.process_count()
+        ema_params, model_state = state.ema_params, state.model_state
+        if multihost:
+            # Host-local copies: valid batches are sharded per host below, so
+            # hosts run different numbers of program calls — running global-
+            # mesh arrays through them would deadlock the SPMD executable
+            # (same reasoning as the eval path).
+            ema_params = jax.tree.map(np.asarray, ema_params)
+            model_state = jax.tree.map(np.asarray, model_state)
         # 1. validation loss over the valid split (uses EMA weights, matching the
-        #    reference's eval-mode EMA swap, model.py:111-125).
-        losses = []
-        for x_wav, y_wav in valid_loader:
+        #    reference's eval-mode EMA swap, model.py:111-125). Batches are
+        #    round-robin sharded across hosts and reduced as a sample-weighted
+        #    mean (the analogue of sync_dist=True, reference model.py:202).
+        loss_sum, n_samples = 0.0, 0
+        for i, (x_wav, y_wav) in enumerate(valid_loader):
+            mine = (not multihost) or (i % world == rank)
+            # Batch 0 runs on EVERY rank (only its owner accumulates it): all
+            # ranks pay the valid_step jit compile at the same time. With a
+            # tiny valid split a rank can own zero batches; if it skipped the
+            # compile it would reach the cross-host reduction a whole
+            # compile-time ahead of the others, which can exceed the
+            # collective-context connect timeout.
+            if not mine and i > 0:
+                continue
             key, sub = jax.random.split(key)
-            losses.append(float(valid_step(state.ema_params, state.model_state,
-                                           jnp.asarray(x_wav), jnp.asarray(y_wav), sub)))
-        metrics: Dict[str, float] = {"valid_loss": float(np.mean(losses)) if losses else float("nan")}
+            loss = float(valid_step(ema_params, model_state,
+                                    jnp.asarray(x_wav), jnp.asarray(y_wav), sub))
+            if mine:
+                loss_sum += loss * x_wav.shape[0]
+                n_samples += x_wav.shape[0]
+        sums: Dict[str, Tuple[float, float]] = {"valid_loss": (loss_sum, n_samples)}
 
         # 2. functional speech-enhancement eval on num_eval_files, host-sharded
         #    (reference model.py:205-257).
@@ -353,30 +382,31 @@ class Trainer:
             clean = shard_eval_files(clean)
             noisy = shard_eval_files(noisy)
             key, sub = jax.random.split(key)
-            ema_vars = {"params": state.ema_params, **state.model_state}
-            multihost = jax.process_count() > 1
-            if multihost:
-                # Each host enhances a DIFFERENT file shard with different
-                # shapes, so the sampler programs must be host-local — pull
-                # the replicated params to host memory first (they are fully
-                # addressable); running global-mesh arrays through per-host
-                # programs of differing shapes would deadlock the collective.
-                ema_vars = jax.tree.map(np.asarray, ema_vars)
+            # Under multihost these are already host-local copies (each host
+            # enhances a DIFFERENT file shard with different shapes, so the
+            # sampler programs must be host-local; global-mesh arrays through
+            # per-host programs of differing shapes would deadlock).
+            ema_vars = {"params": ema_params, **model_state}
             eval_sums = evaluate_model(model, ema_vars, clean, noisy,
                                        num_eval_files=len(clean), key=sub,
                                        N=model.sde.N, return_sums=True)
-            if multihost:
-                # Cross-host weighted-mean reduction — the analogue of the
-                # reference's sync_dist=True metric all-reduce (model.py:202).
-                from jax.experimental import multihost_utils
-                names = sorted(eval_sums)
-                local = np.array([[eval_sums[k][0] for k in names],
-                                  [eval_sums[k][1] for k in names]], np.float64)
-                gathered = multihost_utils.process_allgather(local)  # (P, 2, M)
-                totals = gathered.sum(axis=0)
-                eval_sums = {k: (totals[0][i], totals[1][i])
-                             for i, k in enumerate(names)}
-            # Plain Python floats: numpy scalars would crash the JSONL logger.
-            metrics.update({k: (float(s) / float(c) if c else float("nan"))
-                            for k, (s, c) in eval_sums.items()})
-        return metrics
+            sums.update(eval_sums)
+
+        if multihost:
+            # Cross-host weighted-mean reduction — the analogue of the
+            # reference's sync_dist=True metric all-reduce (model.py:202).
+            # ONE allgather per validation covering all metrics: each distinct
+            # host collective is a fresh Gloo/ICI context whose initialization
+            # has a short connect timeout, so the reduction points must stay
+            # few and arrival-aligned (hosts reach this one after comparable
+            # valid+eval work).
+            from jax.experimental import multihost_utils
+            names = sorted(sums)
+            local = np.array([[sums[k][0] for k in names],
+                              [sums[k][1] for k in names]], np.float64)
+            gathered = multihost_utils.process_allgather(local)  # (P, 2, M)
+            totals = gathered.sum(axis=0)
+            sums = {k: (totals[0][i], totals[1][i]) for i, k in enumerate(names)}
+        # Plain Python floats: numpy scalars would crash the JSONL logger.
+        return {k: (float(s) / float(c) if c else float("nan"))
+                for k, (s, c) in sums.items()}

@@ -84,7 +84,11 @@ def evaluate_model(model, variables, clean_files: Sequence[str],
 
     def _accumulate(name, value):
         value = float(value)
-        if np.isfinite(value):
+        # Only NaN means "metric unavailable for this clip"; +inf SI-SDR
+        # (bit-exact reconstruction) is a real score and must stay in the
+        # mean (an inf mean is honest; silently dropping the best possible
+        # score is not).
+        if not np.isnan(value):
             sums[name][0] += value
             sums[name][1] += 1
 

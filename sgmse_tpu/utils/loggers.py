@@ -31,6 +31,16 @@ class Logger:
         return "0"
 
 
+class NullLogger(Logger):
+    """No-op logger for non-zero ranks in multi-process runs: constructing a
+    real backend on every rank would race CSVLogger's version_N auto-increment
+    on a shared filesystem (stray version dirs) or open duplicate wandb runs.
+    `version` stays "0"; the Trainer overwrites it with the broadcast value."""
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        pass
+
+
 class CSVLogger(Logger):
     def __init__(self, save_dir: os.PathLike, name: str = "sgmse"):
         self.save_dir = Path(save_dir)
@@ -98,10 +108,14 @@ class WandbLogger(Logger):
         self._run.finish()
 
 
-def make_logger(nolog: bool, log_dir: os.PathLike, wandb_name: Optional[str] = None
-                ) -> Logger:
+def make_logger(nolog: bool, log_dir: os.PathLike, wandb_name: Optional[str] = None,
+                is_main: bool = True) -> Logger:
     """Reference logger selection: wandb unless --nolog, CSV fallback
-    (train.py:80-84); also falls back to CSV when wandb is not installed."""
+    (train.py:80-84); also falls back to CSV when wandb is not installed.
+    Non-main processes (multi-host) get a NullLogger — the analogue of
+    Lightning creating the logger on rank 0 only."""
+    if not is_main:
+        return NullLogger()
     if not nolog:
         try:
             return WandbLogger(project="sgmse", name=wandb_name, save_dir=log_dir)

@@ -250,11 +250,16 @@ def pesq_wb(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> floa
     if _pesq is not None:
         try:
             return float(_pesq(fs, ref, deg, mode))
-        except Exception:
+        except Exception as e:
             # Match the fallback path's error contract: the pesq package
             # raises (e.g. NoUtterancesError on a silent validation clip)
             # where the builtin maps to NaN; a crash mid-validation is worse
             # than a NaN — mean_std and the checkpoint policies are NaN-robust.
+            # Warn loudly: downstream means silently skip NaN, so systematic
+            # failures would otherwise shrink the averaged set unnoticed.
+            # (Python's default filter dedups repeated identical messages.)
+            warnings.warn(f"pesq scorer failed ({e!r}) — recording NaN; "
+                          "NaN files are excluded from reported means.")
             return float("nan")
     if not _PESQ_WARNED:
         warnings.warn(
@@ -266,5 +271,7 @@ def pesq_wb(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> floa
     try:
         from .p862 import pesq as _builtin_pesq
         return float(_builtin_pesq(fs, ref, deg, mode))
-    except ValueError:
+    except ValueError as e:
+        warnings.warn(f"builtin P.862 scorer failed ({e!r}) — recording NaN; "
+                      "NaN files are excluded from reported means.")
         return float("nan")  # e.g. signal too short for PESQ

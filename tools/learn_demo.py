@@ -42,7 +42,10 @@ def main():
          "--num_eval_files", "8", "--steps_per_execution", "8",
          "--precision", "bfloat16", "--max_steps", "3200",
          "--log_dir", logs, "--save_ckpt_interval", "0"])
-    version = sorted(p for p in logs.iterdir() if (p / "best_pesq").exists())[-1]
+    # Numeric sort: lexicographic order would pick version_9 over version_10.
+    version = max((p for p in logs.iterdir() if (p / "best_pesq").exists()),
+                  key=lambda p: int(p.name.rsplit("_", 1)[-1])
+                  if p.name.rsplit("_", 1)[-1].isdigit() else -1)
     run([sys.executable, "cli/enhance.py",
          "--test_dir", ds / "test" / "noisy", "--enhanced_dir", enh,
          "--ckpt", version / "best_pesq", "--N", "30", "--batch_size", "8",
