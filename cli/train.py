@@ -83,8 +83,8 @@ def main():
     temp_args, _ = base_parser.parse_known_args()
     maybe_init_distributed(temp_args)
 
-    # After distributed init: the cache keys per-process subdirs off
-    # jax.process_index() in multi-process runs.
+    # After distributed init: the cache auto-disables when process_count > 1
+    # (asymmetric cache hits across ranks blow the collective-init deadline).
     from sgmse_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 

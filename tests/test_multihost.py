@@ -49,14 +49,25 @@ def mh_dataset(tmp_path_factory):
     return root
 
 
-def test_two_process_training(mh_dataset, tmp_path):
+# Failure signatures of the CPU-collectives connect deadline: the Gloo
+# context init has a fixed 30 s GetKeyValue timeout, and on a one-core host
+# two processes time-slicing the CPU (plus any concurrent test load) can
+# legitimately blow it — an environmental race, not a product bug. Those
+# runs (and only those) are retried once.
+_ENV_FLAKE_SIGNATURES = (
+    "Gloo context initialization failed",
+    "DEADLINE_EXCEEDED: GetKeyValue() timed out",
+)
+
+
+def _launch_once(mh_dataset, tmp_path, attempt):
     port = _free_port()
     nproc = 2
     driver = Path(__file__).parent / "_multihost_driver.py"
 
     procs, outs = [], []
     for pid in range(nproc):
-        out_json = tmp_path / f"out_{pid}.json"
+        out_json = tmp_path / f"out_{pid}_a{attempt}.json"
         outs.append(out_json)
         env = dict(os.environ)
         # 2 virtual CPU devices per process -> a 4-device global mesh.
@@ -79,8 +90,25 @@ def test_two_process_training(mh_dataset, tmp_path):
             for q in procs:
                 q.kill()
             pytest.fail("multi-host training deadlocked (900s timeout)")
-        assert p.returncode == 0, stdout[-4000:]
-        results.append(stdout)
+        results.append((p.returncode, stdout))
+    return results, outs
+
+
+def test_two_process_training(mh_dataset, tmp_path):
+    for attempt in range(2):
+        results, outs = _launch_once(mh_dataset, tmp_path, attempt)
+        if all(rc == 0 for rc, _ in results):
+            break
+        combined = "\n".join(out for _, out in results)
+        env_flake = any(sig in combined for sig in _ENV_FLAKE_SIGNATURES)
+        if not (env_flake and attempt == 0):
+            failing = next(out for rc, out in results if rc != 0)
+            assert False, failing[-4000:]
+        # rank-0 may have written logs before the flake killed the run; the
+        # retry must start from a clean log root for the rank-gating asserts.
+        import shutil
+        for pid in range(2):
+            shutil.rmtree(tmp_path / f"logs_{pid}", ignore_errors=True)
 
     infos = [json.load(open(o)) for o in outs]
     assert [i["process_index"] for i in infos] == [0, 1]
