@@ -56,6 +56,12 @@ def main():
     from sgmse_tpu.model import ScoreModel
     from sgmse_tpu.sdes import crandn
     from sgmse_tpu import sampling
+    from sgmse_tpu.utils.compile_cache import enable_persistent_cache
+
+    # Compiles happen strictly before the timed regions, so the on-disk cache
+    # only speeds/robustifies warmup (the remote-compile service is the flaky
+    # stage) — it cannot affect the measured walls.
+    enable_persistent_cache()
 
     sr = 16000
     batch = 16

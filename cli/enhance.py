@@ -83,12 +83,8 @@ def main():
     noisy_files += sorted(glob(join(args.test_dir, "**", "*.flac")))
 
     # Backbone-name dispatch (reference enhancement.py:45-54).
-    if model.backbone == "ncsnpp_48k":
-        target_sr, pad_mode = 48000, "reflection"
-    elif model.backbone == "ncsnpp_v2":
-        target_sr, pad_mode = 16000, "reflection"
-    else:
-        target_sr, pad_mode = 16000, "zero_pad"
+    from sgmse_tpu.utils.inference import target_sr_and_pad
+    target_sr, pad_mode = target_sr_and_pad(model.backbone)
 
     sampler_kwargs = dict(N=args.N, corrector=args.corrector,
                           corrector_steps=args.corrector_steps, snr=args.snr,

@@ -19,13 +19,20 @@ from scipy.signal import resample_poly
 PathLike = Union[str, Path]
 
 
+def _wave_target(path):
+    """`wave.open` target: file-like objects pass through (serving reads
+    request bodies from BytesIO), paths are normalized to str."""
+    return path if hasattr(path, "read") or hasattr(path, "write") else str(path)
+
+
 def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 array in [-1, 1] of shape (channels, n), sr).
+    """Read a WAV file (path or binary file-like) -> (float32 array in
+    [-1, 1] of shape (channels, n), sr).
 
     Matches torchaudio.load conventions: channel-major output, float32 scaling
     by the PCM full-scale value.
     """
-    with wave.open(str(path), "rb") as w:
+    with wave.open(_wave_target(path), "rb") as w:
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()
         sr = w.getframerate()
@@ -53,13 +60,14 @@ def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: PathLike, data: np.ndarray, sr: int) -> None:
-    """Write float data in [-1, 1] as a 16-bit PCM WAV (soundfile.write default)."""
+    """Write float data in [-1, 1] as a 16-bit PCM WAV (soundfile.write
+    default). `path` may be a filesystem path or a binary file-like object."""
     data = np.asarray(data, dtype=np.float32)
     if data.ndim == 1:
         data = data[None, :]
     clipped = np.clip(data, -1.0, 1.0)
     pcm = (clipped * 32767.0).round().astype("<i2")
-    with wave.open(str(path), "wb") as w:
+    with wave.open(_wave_target(path), "wb") as w:
         w.setnchannels(pcm.shape[0])
         w.setsampwidth(2)
         w.setframerate(sr)

@@ -22,6 +22,19 @@ EVAL_N = 30
 EVAL_CORRECTOR_STEPS = 1
 
 
+def target_sr_and_pad(backbone: str) -> Tuple[int, str]:
+    """Backbone-name dispatch for inference IO: (target sample rate, spec pad
+    mode). Mirrors the reference's enhancement-time dispatch
+    (enhancement.py:45-54): the 48 kHz model runs at 48 kHz with reflection
+    padding, ncsnpp_v2 at 16 kHz with reflection padding, everything else at
+    16 kHz with zero padding."""
+    if backbone == "ncsnpp_48k":
+        return 48000, "reflection"
+    if backbone == "ncsnpp_v2":
+        return 16000, "reflection"
+    return 16000, "zero_pad"
+
+
 def select_eval_files(clean_files: Sequence[str], noisy_files: Sequence[str],
                       num_eval_files: int) -> Tuple[list, list]:
     """Uniform subsampling across the validation set (reference inference.py:21-25)."""

@@ -96,6 +96,36 @@ def print_mean_std(data, decimal: int = 2) -> str:
     return f"{mean:.2f} ± {std:.2f}"
 
 
+class Method:
+    """Per-method metric accumulator for result tables (reference
+    util/other.py:41-56): collect metric values per enhancement method, then
+    report mean ± confidence interval per metric."""
+
+    def __init__(self, name: str, base_dir: str, metrics):
+        self.name = name
+        self.base_dir = base_dir
+        self.metrics = {metric: [] for metric in metrics}
+
+    def append(self, metric: str, value: float) -> None:
+        self.metrics[metric].append(value)
+
+    def get_mean_ci(self, metric: str):
+        return mean_conf_int(np.array(self.metrics[metric]))
+
+
+def print_metrics(x: np.ndarray, y: np.ndarray, x_hat_list, labels,
+                  sr: int = 16000) -> None:
+    """Print PESQ/ESTOI/SI-SDR for the mixture and each enhanced estimate
+    (reference util/other.py:98-107 — notebook/report helper)."""
+    print(f"Mixture:  PESQ: {pesq_wb(sr, x, y):.2f}, "
+          f"ESTOI: {stoi(x, y, sr, extended=True):.2f}, "
+          f"SI-SDR: {si_sdr(x, y):.2f}")
+    for label, x_hat in zip(labels, x_hat_list):
+        print(f"{label}: {pesq_wb(sr, x, x_hat):.2f}, "
+              f"ESTOI: {stoi(x, x_hat, sr, extended=True):.2f}, "
+              f"SI-SDR: {si_sdr(x, x_hat):.2f}")
+
+
 # ---------------------------------------------------------------------------------------
 # STOI / ESTOI (self-contained; Taal et al. 2011, Jensen & Taal 2016)
 # ---------------------------------------------------------------------------------------

@@ -94,3 +94,18 @@ def test_rtf_harness_and_debug_nans():
     with debug_nans(True):
         assert jax.config.jax_debug_nans
     assert not jax.config.jax_debug_nans
+
+
+def test_method_accumulator_and_print_metrics(capsys):
+    m = M.Method("ours", "/tmp", ["pesq", "si_sdr"])
+    for v in (1.0, 2.0, 3.0):
+        m.append("pesq", v)
+    mean, ci = m.get_mean_ci("pesq")
+    assert mean == 2.0 and ci > 0
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000).astype(np.float32) * 0.1
+    y = x + rng.standard_normal(16000).astype(np.float32) * 0.05
+    M.print_metrics(x, y, [x], ["identity"], sr=16000)
+    out = capsys.readouterr().out
+    assert "Mixture:" in out and "identity" in out
