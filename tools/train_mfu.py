@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Measure EXACT training MFU for the flagship 65M NCSN++ train step.
+
+docs/PERFORMANCE.md's round-2 training-MFU figure (62%) was an *estimate*:
+forward conv FLOPs from the compiled inference HLO x the textbook
+backward~=2x-forward rule. This tool replaces the estimate with the same
+methodology the inference roofline used — the FLOP count of the actual
+compiled multi-step TRAINING program — and times it with the forced-readback
+fence that docs/PERFORMANCE.md establishes as the only trustworthy sync on
+the axon tunnel.
+
+Usage:  python tools/train_mfu.py [--batch 8] [--k 10] [--reps 5]
+
+Prints one JSON line per configuration:
+  {"batch": B, "k": K, "steps_per_s": S, "samples_per_s": ...,
+   "tflop_per_step": F, "sustained_tflops": T, "mfu_pct": M}
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def measure(batch: int, k: int, reps: int) -> dict:
+    from sgmse_tpu.model import ScoreModel
+    from sgmse_tpu.train import create_train_state, make_train_multi_step
+    from sgmse_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    model = ScoreModel("ncsnpp", "ouve", precision="bfloat16")
+    state, tx = create_train_state(model, jax.random.key(0))
+    multi = make_train_multi_step(model, tx, steps=k)
+    jitted = jax.jit(multi, donate_argnums=(0,))
+
+    target_len = model.spec.target_len  # (num_frames-1)*hop = 32640 @ defaults
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((k, batch, target_len)), jnp.float32) * 0.05
+    ys = xs + jnp.asarray(
+        rng.standard_normal((k, batch, target_len)), jnp.float32) * 0.02
+
+    # AOT-compile so the FLOP count comes from the very executable we time.
+    # cost_analysis() under-counts convs ~17x on this backend (round-2
+    # roofline); parse the compiled HLO instead. The k-step scan body is
+    # counted ONCE by the static parse => static total ~= FLOPs per step.
+    from tools.hlo_flops import conv_dot_flops
+    lowered = jitted.lower(state, xs, ys, jax.random.key(1))
+    compiled = lowered.compile()
+    counts = conv_dot_flops(compiled.as_text())
+    flops_per_step = float(counts["flops"])
+    print(f"# HLO static parse: {counts['n_conv']} convs "
+          f"({counts['conv_flops']/1e12:.3f} TF) + {counts['n_dot']} dots "
+          f"({counts['dot_flops']/1e12:.4f} TF) per train step", flush=True)
+    flops = flops_per_step * k if flops_per_step else None
+
+    # Warm-up execution (donation: thread the state through).
+    state, losses = compiled(state, xs, ys, jax.random.key(2))
+    _ = float(losses.mean())  # forced-readback fence
+
+    walls = []
+    for i in range(reps):
+        t0 = time.time()
+        state, losses = compiled(state, xs, ys, jax.random.key(3 + i))
+        _ = float(losses.mean())
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[len(walls) // 2]
+
+    out = {
+        "batch": batch, "k": k,
+        "steps_per_s": round(k / wall, 3),
+        "samples_per_s": round(k * batch / wall, 1),
+        "wall_per_exec_s": round(wall, 4),
+    }
+    if flops is not None:
+        tflop_per_step = flops / k / 1e12
+        sustained = flops / wall / 1e12
+        out.update({
+            "tflop_per_step": round(tflop_per_step, 3),
+            "sustained_tflops": round(sustained, 1),
+            "mfu_pct": round(100.0 * sustained / V5E_BF16_PEAK_TFLOPS, 1),
+        })
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, nargs="+", default=[8])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+    for b in args.batch:
+        print(json.dumps(measure(b, args.k, args.reps)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
