@@ -296,8 +296,15 @@ def ode_sampler_program(
     rtol: float = 1e-5,
     atol: float = 1e-5,
     max_steps: int = 1000,
+    inject_prior: bool = False,
 ):
     """Probability-flow ODE sampler, fully on device.
+
+    With ``inject_prior=True`` the program signature becomes
+    ``sampler(key, y, z)`` and the prior sample is formed deterministically as
+    ``sde.prior_from_noise(z, y)`` — the hook used to start this solver and
+    the reference's scipy RK45 from the SAME x_T for tolerance-level
+    terminal-state comparison (tests/test_reference_anchor.py).
 
     Parity with the reference's ODE path (sampling/__init__.py:73-143), which
     drives scipy's adaptive RK45 (rtol=atol=1e-5) from the host with two
@@ -335,8 +342,9 @@ def ode_sampler_program(
         return jnp.sqrt(jnp.mean(r * r))
 
     @jax.jit
-    def rk45_sampler(key, y):
-        x0 = sde.prior_sampling(key, y)
+    def rk45_sampler(key, y, z=None):
+        x0 = sde.prior_from_noise(z, y) if inject_prior \
+            else sde.prior_sampling(key, y)
         t0 = jnp.float32(sde.T)
         h0 = jnp.float32(-(sde.T - eps) / 50.0)  # initial step, reverse time
         k1_0 = drift_fn(x0, t0, y)
@@ -382,8 +390,9 @@ def ode_sampler_program(
     ts = jnp.linspace(sde.T, eps, n + 1)
 
     @jax.jit
-    def rk4_sampler(key, y):
-        x0 = sde.prior_sampling(key, y)
+    def rk4_sampler(key, y, z=None):
+        x0 = sde.prior_from_noise(z, y) if inject_prior \
+            else sde.prior_sampling(key, y)
 
         def rk4_step(x, i):
             t0, t1 = ts[i], ts[i + 1]
@@ -400,8 +409,9 @@ def ode_sampler_program(
         return x
 
     if method == "rk45":
-        def program(key, y):
-            x, nfe, t_final = rk45_sampler(key, y)
+        def program(key, y, z=None):
+            x, nfe, t_final = (rk45_sampler(key, y, z) if inject_prior
+                               else rk45_sampler(key, y))
             # The while_loop is bounded by max_steps; if it ran out before
             # reaching t=eps (e.g. a too-tight rtol on a long utterance) the
             # returned state is only partially integrated — surface it loudly
@@ -418,8 +428,9 @@ def ode_sampler_program(
     elif method == "rk4":
         nfe_static = 4 * n + (1 if denoise else 0)
 
-        def program(key, y):
-            return rk4_sampler(key, y), nfe_static
+        def program(key, y, z=None):
+            x = rk4_sampler(key, y, z) if inject_prior else rk4_sampler(key, y)
+            return x, nfe_static
         return program
     raise ValueError(f"Unknown ODE method: {method}")
 
@@ -460,12 +471,20 @@ def sb_sampler_program(
     model_fn: Callable,
     eps: float = 1e-4,
     sampler_type: str = "ode",
+    inject_steps: bool = False,
 ) -> Tuple[Callable, int]:
     """Build the jitted SB program ``sampler(key, y) -> sample`` plus its NFE.
 
     ``model_fn(x, y, t)`` is called in data-prediction mode (returns x_hat).
     ``xt`` starts at ``y`` exactly (reference lines 150, 198). Cacheable by
     callers; `y` is a runtime argument (see :func:`pc_sampler_program`).
+
+    With ``inject_steps=True`` (sde variant only) the program signature
+    becomes ``sampler(key, y, z)`` with ``z`` of shape ``(N, B, 1, F, T)`` —
+    the per-step noise draws, replacing the on-device RNG. This is the hook
+    used to drive this sampler and the torch reference's get_sb_sampler
+    (sampling/__init__.py:147-193) from the SAME noise sequence for
+    end-to-end parity verification (tests/test_reference_anchor.py).
     """
     n = sde.N
     time_steps = jnp.linspace(sde.T, eps, n + 1)
@@ -475,14 +494,17 @@ def sb_sampler_program(
         return vec, sde.sigmas_alphas(vec)
 
     @jax.jit
-    def sde_sampler(key, y):
+    def sde_sampler(key, y, z=None):
         xt = y[:, :1, :, :]  # special case for multi-channel inputs (reference line 150)
         _, (sigma_prev, sigma_T, sigma_bar_prev, alpha_prev, alpha_T, alpha_bar_prev) = \
             tables(time_steps[0], y.shape[0])
 
         def step(carry, inp):
             xt, alpha_prev, sigma_prev, sigma_bar_prev, k = carry
-            t, is_last = inp
+            if inject_steps:
+                t, is_last, zp = inp
+            else:
+                t, is_last = inp
             vec_t = jnp.ones((y.shape[0],), dtype=jnp.float32) * t
             sigma_t, sigma_T, sigma_bart, alpha_t, alpha_T, alpha_bart = \
                 sde.sigmas_alphas(vec_t)
@@ -493,15 +515,16 @@ def sb_sampler_program(
             weight_z = alpha_t * sigma_t * jnp.sqrt(tmp)
             weight_z = jnp.where(is_last, 0.0, weight_z)
             k, sub = jax.random.split(k)
-            z = crandn(sub, xt.shape)
+            znoise = zp if inject_steps else crandn(sub, xt.shape)
             xt = (_bcast(weight_prev) * xt + _bcast(weight_estimate) * est
-                  + _bcast(weight_z) * z)
+                  + _bcast(weight_z) * znoise)
             return (xt, alpha_t, sigma_t, sigma_bart, k), None
 
         is_last = jnp.arange(1, n + 1) == n
+        xs = ((time_steps[1:], is_last, z) if inject_steps
+              else (time_steps[1:], is_last))
         (xt, *_), _ = jax.lax.scan(
-            step, (xt, alpha_prev, sigma_prev, sigma_bar_prev, key),
-            (time_steps[1:], is_last))
+            step, (xt, alpha_prev, sigma_prev, sigma_bar_prev, key), xs)
         return xt
 
     @jax.jit
@@ -538,6 +561,9 @@ def sb_sampler_program(
     if sampler_type == "sde":
         return sde_sampler, n
     elif sampler_type == "ode":
+        if inject_steps:
+            raise ValueError("inject_steps only applies to the (stochastic) "
+                             "sde variant; the ode variant is noise-free")
         return ode_sampler, n
     raise ValueError("Invalid type. Choose 'ode' or 'sde'.")
 

@@ -54,7 +54,8 @@ SPEC_FACTOR, SPEC_EXP = 0.15, 0.5
 SR = 16000
 
 
-def _torch_enhance(tm, y_wav: np.ndarray, n_steps: int, seed: int = 7):
+def _torch_enhance(tm, y_wav: np.ndarray, n_steps: int, seed: int = 7,
+                   n_fft: int = N_FFT, hop: int = HOP):
     """The reference enhancement pipeline (enhancement.py:62-103), built from
     the reference's importable modules. Returns (x_hat, noise_sequence) where
     noise_sequence[0] is the prior draw and noise_sequence[1+i] the predictor
@@ -68,8 +69,8 @@ def _torch_enhance(tm, y_wav: np.ndarray, n_steps: int, seed: int = 7):
     norm_factor = y.abs().max()
     y = y / norm_factor
 
-    window = torch.hann_window(N_FFT, periodic=True)
-    spec = torch.stft(y, n_fft=N_FFT, hop_length=HOP, window=window,
+    window = torch.hann_window(n_fft, periodic=True)
+    spec = torch.stft(y, n_fft=n_fft, hop_length=hop, window=window,
                       center=True, return_complex=True)
     # spec_fwd (data_module.py:162-170), transform_type 'exponent'
     spec = spec.abs() ** SPEC_EXP * torch.exp(1j * spec.angle()) * SPEC_FACTOR
@@ -94,7 +95,7 @@ def _torch_enhance(tm, y_wav: np.ndarray, n_steps: int, seed: int = 7):
     # to_audio = istft(spec_back(spec), length) (model.py:411-423)
     s = sample.squeeze(0) / SPEC_FACTOR
     s = s.abs() ** (1.0 / SPEC_EXP) * torch.exp(1j * s.angle())
-    x_hat = torch.istft(s, n_fft=N_FFT, hop_length=HOP, window=window,
+    x_hat = torch.istft(s, n_fft=n_fft, hop_length=hop, window=window,
                         center=True, length=t_orig)
     return (x_hat * norm_factor).numpy()[0], zs.numpy()
 
@@ -152,3 +153,37 @@ def test_pipelines_agree_on_metrics_of_output(shared_weights, noisy_wav):
     x_ours = _ours_enhance(params, noisy_wav, 4, zs)
     anchor = noisy_wav  # any fixed anchor works for agreement checks
     assert abs(si_sdr(anchor, x_ref) - si_sdr(anchor, x_ours)) < 0.1
+
+
+def test_dcunet_enhancement_pipeline_waveform_parity(noisy_wav):
+    """The DCUNet (Interspeech 2022) enhancement family, end to end: the
+    default DilDCUNet-v2 at its required --n_fft 512 DSP config
+    (reference README.md:90, dcunet.py:261-333), through the full pipeline
+    with torch's exact noise sequence — same weights => same waveform.
+    Closes VERDICT r3 next-round item 5 (the last unanchored family)."""
+    from sgmse.backbones.dcunet import DCUNet as TorchDCUNet
+
+    torch.manual_seed(0)
+    tm = TorchDCUNet()
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert.convert_dcunet_state_dict(sd)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+
+    n_steps = 3
+    n_fft, hop = 512, 128
+    x_ref, zs = _torch_enhance(tm, noisy_wav, n_steps, n_fft=n_fft, hop=hop)
+
+    model = ScoreModel("dcunet", "ouve", n_fft=n_fft, hop_length=hop,
+                       num_frames=128)
+    x_ours = model.enhance(variables, noisy_wav, key=jax.random.key(0),
+                           N=n_steps, corrector="none", prior_noise=zs,
+                           pad_mode="zero_pad")
+
+    assert x_ours.shape == x_ref.shape
+    scale = np.abs(x_ref).max()
+    assert np.max(np.abs(x_ours - x_ref)) < 5e-3 * scale, (
+        np.max(np.abs(x_ours - x_ref)) / scale)
+    assert si_sdr(x_ref, x_ours) > 35.0
