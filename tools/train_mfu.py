@@ -55,11 +55,22 @@ def measure(batch: int, k: int, reps: int) -> dict:
     from tools.hlo_flops import conv_dot_flops
     lowered = jitted.lower(state, xs, ys, jax.random.key(1))
     compiled = lowered.compile()
-    counts = conv_dot_flops(compiled.as_text())
-    flops_per_step = float(counts["flops"])
+    hlo_text = compiled.as_text()
+    counts = conv_dot_flops(hlo_text)
+    assert counts["skipped"] == 0, (
+        f"HLO FLOP parse skipped {counts['skipped']} conv/dot ops — total untrustworthy")
+    # The static parse counts the scan body ONCE only if XLA kept the k-step
+    # lax.scan as a `while` loop. If XLA unrolled it (small k, future flag
+    # changes), the static total already covers all k steps — scaling by k
+    # again would inflate MFU by up to k (ADVICE r3). Detect which happened.
+    scan_is_while = k == 1 or (" while(" in hlo_text)
+    flops_static = float(counts["flops"])
+    flops_per_step = flops_static if scan_is_while else flops_static / k
     print(f"# HLO static parse: {counts['n_conv']} convs "
           f"({counts['conv_flops']/1e12:.3f} TF) + {counts['n_dot']} dots "
-          f"({counts['dot_flops']/1e12:.4f} TF) per train step", flush=True)
+          f"({counts['dot_flops']/1e12:.4f} TF) "
+          f"{'per train step (scan as while-loop)' if scan_is_while else 'for all k steps (scan UNROLLED)'}",
+          flush=True)
     flops = flops_per_step * k if flops_per_step else None
 
     # Warm-up execution (donation: thread the state through).
@@ -68,10 +79,10 @@ def measure(batch: int, k: int, reps: int) -> dict:
 
     walls = []
     for i in range(reps):
-        t0 = time.time()
+        t0 = time.perf_counter()  # monotonic (ADVICE r3)
         state, losses = compiled(state, xs, ys, jax.random.key(3 + i))
         _ = float(losses.mean())
-        walls.append(time.time() - t0)
+        walls.append(time.perf_counter() - t0)
     wall = sorted(walls)[len(walls) // 2]
 
     out = {
