@@ -104,6 +104,13 @@ def main():
                                 help="Scan this many train steps inside one "
                                      "jitted program (amortizes per-launch "
                                      "dispatch overhead; TPU-only win).")
+    trainer_parser.add_argument("--seed", type=int, default=0,
+                                help="Base RNG seed: feeds jax.random.key for "
+                                     "init/diffusion-time/noise draws AND the "
+                                     "data loader's shuffle+crop generator. "
+                                     "Two runs with the same seed produce "
+                                     "identical metrics (key-split scheme: "
+                                     "docs/DESIGN.md).")
 
     ScoreModel.add_argparse_args(
         parser.add_argument_group("ScoreModel", description=ScoreModel.__name__))
@@ -126,7 +133,7 @@ def main():
             **vars(arg_groups["DataModule"]),
         },
     )
-    data_module = SpecsDataModule(**vars(arg_groups["DataModule"]))
+    data_module = SpecsDataModule(**vars(arg_groups["DataModule"]), seed=args.seed)
     import jax
     logger = make_logger(args.nolog, args.log_dir, args.wandb_name,
                          is_main=jax.process_index() == 0)
@@ -137,6 +144,7 @@ def main():
         accumulate_grad_batches=args.accumulate_grad_batches,
         save_ckpt_interval=args.save_ckpt_interval,
         num_devices=num_devices,
+        seed=args.seed,
         steps_per_execution=args.steps_per_execution,
     )
     return trainer.fit(ckpt_path=args.ckpt)

@@ -152,6 +152,32 @@ def test_trainer_fit_and_resume(wav_dataset, tmp_path):
     assert out.shape == (2000,)
 
 
+def test_seed_reproducibility(wav_dataset, tmp_path):
+    """Two identical-seed runs produce identical metrics; a different seed
+    diverges (VERDICT r3 item 6 — the --seed CLI flag threads here)."""
+    def run(seed, tag):
+        model = ScoreModel("ncsnpp", "ouve", **TINY)
+        dm = SpecsDataModule(base_dir=str(wav_dataset), batch_size=4, n_fft=126,
+                             hop_length=32, num_frames=64, num_workers=0,
+                             seed=seed)
+        logger = CSVLogger(tmp_path / tag)
+        trainer = Trainer(model, dm, logger, log_dir=str(tmp_path / tag),
+                          max_steps=2, num_devices=2, log_every_n_steps=1,
+                          seed=seed)
+        state = trainer.fit()
+        metrics = trainer.validate(state, __import__("sgmse_tpu.train", fromlist=["make_valid_step"]).make_valid_step(model),
+                                   dm.val_dataloader(), jax.random.key(seed))
+        return float(metrics["valid_loss"]), np.asarray(
+            jax.tree.leaves(state.params)[0])
+
+    loss_a, leaf_a = run(7, "a")
+    loss_b, leaf_b = run(7, "b")
+    loss_c, _ = run(8, "c")
+    assert loss_a == loss_b
+    np.testing.assert_array_equal(leaf_a, leaf_b)
+    assert loss_a != loss_c
+
+
 def test_ema_ramp():
     from sgmse_tpu.train import ema_update
     p = {"w": jnp.ones(3)}
