@@ -128,3 +128,25 @@ def test_silent_reference_raises_and_maps_to_nan():
     with pytest.raises(ValueError):
         pesq(FS, z, z, "wb")
     assert np.isnan(M.pesq_wb(FS, z, z))
+
+
+def test_rank_agreement_families(speech):
+    """Compact regression guard for the round-4 rank-agreement study
+    (tools/pesq_rank_agreement.py, table in docs/PARITY.md): severity
+    orderings within deterministic distortion families must rank perfectly —
+    that is the property best-PESQ checkpoint selection relies on."""
+    t = np.arange(len(speech)) / FS
+
+    def am(depth):
+        return speech * (1.0 - depth * 0.5 * (1 + np.sin(2 * np.pi * 7 * t)))
+
+    def quant(bits):
+        q = 2.0 ** (bits - 1)
+        return np.round(speech * q) / q
+
+    for name, degs in [
+        ("am", [am(d) for d in (0.1, 0.4, 0.8)]),
+        ("quant", [quant(b) for b in (10, 6, 4)]),
+    ]:
+        scores = [pesq(FS, speech, d, "wb") for d in degs]
+        assert scores[0] > scores[1] > scores[2], (name, scores)
