@@ -61,12 +61,14 @@ def build_enhancer(args):
         model, variables, max_batch=args.batch_size,
         max_delay_ms=args.max_delay_ms, max_seconds=args.max_seconds,
         sampler_kwargs=sampler_kwargs, pad_mode=pad_mode, seed=args.seed,
-        chunk_seconds=args.chunk_seconds)
+        chunk_seconds=args.chunk_seconds,
+        max_pending=args.max_pending or None)
     return model, enhancer, target_sr
 
 
 def make_handler(enhancer, target_sr):
     from sgmse_tpu.data.wav import read_wav, resample, write_wav
+    from sgmse_tpu.serve import QueueFullError
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -110,6 +112,8 @@ def make_handler(enhancer, target_sr):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except QueueFullError as e:
+                self._json(503, {"error": str(e), "retry": True})
             except Exception as e:
                 self._json(500, {"error": str(e)})
 
@@ -130,6 +134,9 @@ def main():
                         help="Max time a request waits for batch-mates")
     parser.add_argument("--max_seconds", type=float, default=30.0,
                         help="Longer inputs run via chunked overlap-add")
+    parser.add_argument("--max_pending", type=int, default=64,
+                        help="Admission control: reject (503) when this many "
+                             "requests are queued; 0 = unbounded")
     parser.add_argument("--chunk_seconds", type=float, default=10.0,
                         help="Chunk size for the overlap-add long path")
     parser.add_argument("--warm_seconds", type=float, nargs="*", default=[2.0, 4.0],

@@ -479,7 +479,8 @@ class ScoreModel:
     def enhance(self, variables, y_wav, key=None, sampler_type: Optional[str] = None,
                 predictor: str = "reverse_diffusion", corrector: str = "ald",
                 N: int = 30, corrector_steps: int = 1, snr: float = 0.5,
-                timeit: bool = False, pad_mode: str = "zero_pad", **kwargs):
+                timeit: bool = False, pad_mode: str = "zero_pad",
+                sync: bool = True, **kwargs):
         """Enhance a noisy waveform (1-D array) end to end.
 
         Follows the reference pipeline: max-abs normalize -> STFT + compression
@@ -491,6 +492,12 @@ class ScoreModel:
         state after each predictor step (``(x_hat, trajectory, nfe, rtf)``
         with ``timeit=True``). The ODE/SB paths ignore the flag, like the
         reference (sampling/__init__.py:28).
+
+        ``sync=False`` returns the waveform as a DEVICE array without the
+        final host transfer: dispatch stays asynchronous, so a caller looping
+        over batches can overlap batch i's device compute with batch i-1's
+        readback + disk writes (cli/enhance.py's double-buffered loop). Not
+        combinable with ``timeit`` (timing requires the host fence).
         """
         if key is None:
             # Deterministic default (see enhance_long): key=None always means
@@ -568,6 +575,13 @@ class ScoreModel:
         post = self._cached_program(("enhance_post", t_orig), None, lambda: jax.jit(
             lambda s, norm: self.to_audio(s[:, 0], t_orig) * norm))
         x_hat = post(sample, norm_factor)
+        if not sync:
+            if timeit:
+                raise ValueError("enhance(sync=False) cannot be combined with "
+                                 "timeit=True: timing requires the host fence")
+            if trajectory is not None:
+                return (x_hat[0] if squeeze else x_hat), trajectory
+            return x_hat[0] if squeeze else x_hat
         # Stop the clock only after the host transfer: on the axon backend
         # block_until_ready() does not reliably drain device work
         # (docs/PERFORMANCE.md methodology note); np.asarray is the fence.

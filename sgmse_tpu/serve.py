@@ -52,6 +52,13 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+class QueueFullError(RuntimeError):
+    """Raised by submit() when the pending queue exceeds max_pending —
+    admission control so saturating open-loop load degrades into fast 503s
+    instead of unbounded queueing delay (measured: >60 s p50 at 1.7x
+    capacity without it, docs/PERFORMANCE.md serving table)."""
+
+
 class _Request:
     __slots__ = ("wav", "future", "t_submit", "bucket")
 
@@ -77,13 +84,16 @@ class BatchingEnhancer:
         pad_mode: spec padding mode (backbone-dependent, see
             `utils.inference.target_sr_and_pad`).
         seed: base RNG seed; batch i samples with fold_in(key(seed), i).
+        max_pending: admission-control cap — submit() raises QueueFullError
+            when this many requests are already queued (None = unbounded).
     """
 
     def __init__(self, model, variables, *, max_batch: int = 8,
                  max_delay_ms: float = 100.0, max_seconds: float = 30.0,
                  sampler_kwargs: Optional[Dict[str, Any]] = None,
                  pad_mode: str = "zero_pad", seed: int = 0,
-                 chunk_seconds: float = 10.0):
+                 chunk_seconds: float = 10.0,
+                 max_pending: Optional[int] = None):
         self.model = model
         self.variables = variables
         self.max_batch = int(max_batch)
@@ -91,6 +101,7 @@ class BatchingEnhancer:
         self.sampler_kwargs = dict(sampler_kwargs or {})
         self.pad_mode = pad_mode
         self.chunk_seconds = float(chunk_seconds)
+        self.max_pending = None if max_pending is None else int(max_pending)
         hop = model.spec.hop_length
         self.hop = hop
         self.max_frames = _ceil64(1 + int(max_seconds * model.sr) // hop)
@@ -101,7 +112,8 @@ class BatchingEnhancer:
         self._base_key = jax.random.key(seed)
         self._batch_counter = 0
         self._stats = {"requests": 0, "batches": 0, "batched_rows": 0,
-                       "long_requests": 0, "errors": 0, "wait_s_sum": 0.0}
+                       "long_requests": 0, "errors": 0, "rejected": 0,
+                       "wait_s_sum": 0.0}
         self._dispatcher = threading.Thread(target=self._run, daemon=True,
                                             name="sgmse-serve-dispatcher")
         self._dispatcher.start()
@@ -128,6 +140,13 @@ class BatchingEnhancer:
         with self._cond:
             if self._stop:
                 raise RuntimeError("BatchingEnhancer is closed")
+            if self.max_pending is not None:
+                pending = sum(len(q) for q in self._queues.values())
+                if pending >= self.max_pending:
+                    self._stats["rejected"] += 1
+                    raise QueueFullError(
+                        f"{pending} requests pending (max_pending="
+                        f"{self.max_pending}); retry later")
             self._queues.setdefault(req.bucket, deque()).append(req)
             self._stats["requests"] += 1
             self._cond.notify()

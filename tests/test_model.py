@@ -123,6 +123,20 @@ def test_enhance_batched(model_and_params):
     assert rtf > 0
 
 
+def test_enhance_sync_false_matches_sync_true(model_and_params):
+    """The async double-buffer path (cli/enhance.py) returns a device array
+    with identical values; timeit+sync=False is rejected."""
+    model, variables = model_and_params
+    rng = np.random.default_rng(0)
+    y_wav = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+    a = model.enhance(variables, y_wav, key=jax.random.key(3), N=2)
+    b = model.enhance(variables, y_wav, key=jax.random.key(3), N=2, sync=False)
+    np.testing.assert_array_equal(a, np.asarray(b))
+    with pytest.raises(ValueError):
+        model.enhance(variables, y_wav, key=jax.random.key(3), N=2,
+                      sync=False, timeit=True)
+
+
 def test_data_prediction_loss_with_pesq_weight():
     """C29 parity: --pesq_weight>0 adds the differentiable PESQ term."""
     model = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction",

@@ -113,6 +113,25 @@ def test_closed_enhancer_rejects_submits(model_and_params):
         enh.submit(np.zeros(1600, np.float32))
 
 
+def test_admission_control_rejects_when_queue_full(model_and_params):
+    """max_pending caps the queue: overload degrades into fast QueueFullError
+    (HTTP 503 in cli/serve.py) instead of unbounded queueing delay."""
+    from sgmse_tpu.serve import QueueFullError
+    model, variables = model_and_params
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal(1600).astype(np.float32) * 0.1
+    # Long max_delay: the dispatcher sits collecting batch-mates, so submits
+    # stack up deterministically past the cap.
+    with make_enhancer(model, variables, max_delay_ms=2000.0,
+                       max_pending=2) as enh:
+        futs = [enh.submit(wav), enh.submit(wav)]
+        with pytest.raises(QueueFullError):
+            enh.submit(wav)
+        assert enh.stats()["rejected"] == 1
+        for f in futs:
+            assert np.all(np.isfinite(f.result(timeout=300)))
+
+
 def test_http_server_roundtrip(model_and_params):
     """POST a WAV -> enhanced WAV back; /healthz and /stats respond."""
     from cli.serve import make_handler

@@ -10,7 +10,14 @@ waveform. Result is recorded in docs/PERFORMANCE.md (VERDICT r2 next-round
 #1b); it runs on CPU in ~10-20 min (65M torch eval per step + one jitted scan
 compile), too slow for the default pytest suite.
 
-Run: python tools/pipeline_parity_fullsize.py
+Run: python tools/pipeline_parity_fullsize.py            # OUVE + PC + NCSN++
+     python tools/pipeline_parity_fullsize.py --sb       # SBVE + SB-ODE + NCSN++v2
+
+The --sb mode covers the published SB checkpoint family at full default size
+(VERDICT r3 item 2): reference get_sb_sampler ODE variant
+(/root/reference/sgmse/sampling/__init__.py:195-242) through the v2
+enhancement front-end (pad_mode reflection, enhancement.py:49-51) — the ODE
+variant is noise-free, so same weights => same waveform with no injection.
 """
 import sys
 import time
@@ -74,6 +81,69 @@ def torch_enhance(tm, y_wav: np.ndarray, n_steps: int, seed: int = 7):
     return (x_hat * norm_factor).numpy()[0], zs.numpy()
 
 
+def main_sb():
+    """Full-default-size SB pipeline parity (SBVE + SB-ODE + ncsnpp_v2)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from _reference_shim import load_reference_model_module, make_reference_scoremodel
+    load_reference_model_module()  # install dependency stubs first
+    from sgmse.util.other import pad_spec
+
+    n_steps = 4
+    print("building 65M torch reference ScoreModel (ncsnpp_v2 + sbve)...",
+          flush=True)
+    torch.manual_seed(0)
+    ref = make_reference_scoremodel("ncsnpp_v2", "sbve",
+                                    loss_type="data_prediction", N=n_steps)
+    ref.eval()
+    sd = {k: v.numpy() for k, v in ref.dnn.state_dict().items()}
+    params = convert.convert_ncsnpp_state_dict(sd)
+
+    rng = np.random.default_rng(3)
+    t = np.arange(2 * SR) / SR
+    clean = (0.4 * np.sin(2 * np.pi * 330 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    noisy = clean + 0.05 * rng.standard_normal(len(t)).astype(np.float32)
+
+    t0 = time.time()
+    y = torch.from_numpy(noisy)[None]
+    t_orig = y.size(1)
+    norm = y.abs().max()
+    with torch.no_grad():
+        Y = torch.unsqueeze(ref._forward_transform(ref._stft(y / norm)), 0)
+        Y = pad_spec(Y, mode="reflection")
+        sampler = ref.get_sb_sampler(sde=ref.sde, y=Y, sampler_type="ode")
+        sample, _ = sampler()
+        x_ref = (ref.to_audio(sample.squeeze(), t_orig) * norm).numpy()
+    print(f"torch SB pipeline: {time.time() - t0:.0f}s", flush=True)
+
+    ours = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction",
+                      N=n_steps)
+    t0 = time.time()
+    x_ours = ours.enhance({"params": params}, noisy, key=jax.random.key(0),
+                          sampler_type="ode", pad_mode="reflection")
+    print(f"ours (incl. jit compile): {time.time() - t0:.0f}s", flush=True)
+
+    assert x_ours.shape == x_ref.shape
+    scale = np.abs(x_ref).max()
+    max_rel = float(np.max(np.abs(x_ours - x_ref)) / scale)
+    agreement = float(si_sdr(x_ref, x_ours))
+    print(f"max |delta| / peak: {max_rel:.2e}")
+    print(f"waveform agreement SI-SDR(ref, ours): {agreement:.1f} dB")
+    # Tolerance note: the SB-ODE first step is numerically hostile BY THE
+    # REFERENCE'S OWN FORMULATION — at t=T, xt == y and sigma_bar_prev =
+    # sqrt(sde.eps) = 1e-4, so weight_prev ~ +5e3 and weight_prior_mean ~
+    # -5e3 cancel to O(1) in f32 (sampling/__init__.py:218-231). Both
+    # frameworks round that cancellation differently: ~1e-7 per-op noise x
+    # ~5e3 amplification => ~1e-3 relative is the f32 agreement FLOOR for
+    # this step, not a conversion defect (measured full-size: 2.3e-3 /
+    # 47.2 dB; the tiny-config test agrees to <5e-4 where activations are
+    # smaller). The discretization itself is anchored exactly by
+    # tests/test_reference_anchor.py (loss + SDE-variant injection).
+    ok = max_rel < 1e-2 and agreement > 40.0
+    print("SB PARITY:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     from sgmse.backbones.ncsnpp import NCSNpp as TorchNCSNpp
 
@@ -113,4 +183,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--sb" in sys.argv:
+        main_sb()
+    else:
+        main()
