@@ -53,6 +53,10 @@ def main():
                         choices=("float32", "bfloat16"),
                         help="Override the checkpoint's compute precision "
                              "(bfloat16 doubles MXU throughput; params stay float32)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="Shard each utterance batch over ALL local devices "
+                             "(1-D 'data' mesh; multi-chip inference throughput — "
+                             "use with --batch_size >= the device count)")
     args = parser.parse_args()
 
     import time
@@ -89,6 +93,15 @@ def main():
     sampler_kwargs = dict(N=args.N, corrector=args.corrector,
                           corrector_steps=args.corrector_steps, snr=args.snr,
                           pad_mode=pad_mode)
+    if args.data_parallel:
+        from sgmse_tpu.parallel.mesh import make_data_mesh
+        mesh = make_data_mesh()
+        sampler_kwargs["mesh"] = mesh
+        if args.batch_size < mesh.devices.size:
+            print(f"--data_parallel: batch_size {args.batch_size} < "
+                  f"{mesh.devices.size} devices — batches are zero-padded up "
+                  "to the device count; raise --batch_size for full "
+                  "utilization", file=sys.stderr)
     if model.sde_name == "ouve":
         import dataclasses
         model.sde = dataclasses.replace(model.sde, sampler_type=args.sampler_type)

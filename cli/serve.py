@@ -57,6 +57,12 @@ def build_enhancer(args):
         model.sde = dataclasses.replace(model.sde, sampler_type=args.sampler_type)
     sampler_kwargs = dict(N=args.N, corrector=args.corrector,
                           corrector_steps=args.corrector_steps, snr=args.snr)
+    if getattr(args, "data_parallel", False):
+        # Shard every batched program over all local devices (model.enhance
+        # zero-pads partial batches to the mesh size). Multi-chip serving
+        # throughput; the single-chip case is a no-op 1-device mesh.
+        from sgmse_tpu.parallel.mesh import make_data_mesh
+        sampler_kwargs["mesh"] = make_data_mesh()
     enhancer = BatchingEnhancer(
         model, variables, max_batch=args.batch_size,
         max_delay_ms=args.max_delay_ms, max_seconds=args.max_seconds,
@@ -149,6 +155,9 @@ def main():
     parser.add_argument("--snr", type=float, default=0.5)
     parser.add_argument("--N", type=int, default=30)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="Shard batched programs over ALL local devices "
+                             "(1-D 'data' mesh; multi-chip serving throughput)")
     parser.add_argument("--precision", type=str, default=None,
                         choices=("float32", "bfloat16"))
     args = parser.parse_args()

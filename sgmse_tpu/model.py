@@ -480,7 +480,7 @@ class ScoreModel:
                 predictor: str = "reverse_diffusion", corrector: str = "ald",
                 N: int = 30, corrector_steps: int = 1, snr: float = 0.5,
                 timeit: bool = False, pad_mode: str = "zero_pad",
-                sync: bool = True, **kwargs):
+                sync: bool = True, mesh=None, **kwargs):
         """Enhance a noisy waveform (1-D array) end to end.
 
         Follows the reference pipeline: max-abs normalize -> STFT + compression
@@ -498,6 +498,18 @@ class ScoreModel:
         over batches can overlap batch i's device compute with batch i-1's
         readback + disk writes (cli/enhance.py's double-buffered loop). Not
         combinable with ``timeit`` (timing requires the host fence).
+
+        ``mesh`` (a 1-D ``jax.sharding.Mesh`` over a 'data' axis, e.g.
+        ``parallel.mesh.make_data_mesh()``) shards the utterance batch over
+        the mesh's devices for multi-chip inference throughput. The batch is
+        zero-padded up to a multiple of the mesh size, placed with a
+        batch-dim ``NamedSharding``, and every downstream jitted program
+        (prep, the whole N-step sampler, post) inherits the sharding through
+        GSPMD propagation. The score network has no cross-batch ops, so XLA
+        partitions the programs with zero collectives — near-linear scaling
+        over ICI. Results are numerically identical to the unsharded path
+        (sharding changes layout, never semantics). The reference has no
+        inference-parallelism equivalent (its DDP is training-only).
         """
         if key is None:
             # Deterministic default (see enhance_long): key=None always means
@@ -526,6 +538,16 @@ class ScoreModel:
         if squeeze:
             y_wav = y_wav[None]
         t_orig = y_wav.shape[-1]
+        n_batch = y_wav.shape[0]
+        if mesh is not None:
+            from sgmse_tpu.parallel.mesh import data_sharding
+            n_dev = int(mesh.devices.size)
+            pad_rows = (-n_batch) % n_dev
+            if pad_rows:
+                y_np = np.asarray(y_wav)
+                y_wav = np.concatenate(
+                    [y_np, np.zeros((pad_rows, t_orig), y_np.dtype)])
+            y_wav = jax.device_put(np.asarray(y_wav), data_sharding(mesh))
         # Pre-processing as ONE jitted program (cached): normalize + STFT +
         # compression transform + pad. Running these as eager ops costs one
         # host/RPC roundtrip each on this backend (~28 ms apiece,
@@ -575,6 +597,10 @@ class ScoreModel:
         post = self._cached_program(("enhance_post", t_orig), None, lambda: jax.jit(
             lambda s, norm: self.to_audio(s[:, 0], t_orig) * norm))
         x_hat = post(sample, norm_factor)
+        if x_hat.shape[0] != n_batch:  # drop mesh-divisibility padding rows
+            x_hat = x_hat[:n_batch]
+            if trajectory is not None:
+                trajectory = trajectory[:, :n_batch]
         if not sync:
             if timeit:
                 raise ValueError("enhance(sync=False) cannot be combined with "

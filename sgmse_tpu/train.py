@@ -172,6 +172,9 @@ class Trainer:
         # ~28 ms per-launch host/RPC dispatch this backend pays per program
         # (the steps are serially dependent, so launches cannot overlap).
         self.steps_per_execution = max(1, int(steps_per_execution))
+        # One jitted accumulator shared by every validate() call (a fresh
+        # lambda per call would retrace + remote-recompile each validation).
+        self._acc_add = jax.jit(lambda acc, loss, w: acc + loss * w)
 
         self.mesh = make_data_mesh(num_devices)
         # Multi-host SPMD: checkpoints/logs are written by process 0 only
@@ -358,7 +361,8 @@ class Trainer:
         #    backend (docs/PERFORMANCE.md), serializing the whole valid pass —
         #    the exact pathology the train loop was reworked to avoid
         #    (VERDICT r3 weak #2).
-        acc_add = jax.jit(lambda acc, loss, w: acc + loss * w)
+        acc_add = self._acc_add  # cached jit: a fresh lambda per validate()
+        # call would retrace (and remote-recompile) every validation
         loss_acc = None  # device scalar, lazily started to keep dispatch async
         n_samples = 0
         for i, (x_wav, y_wav) in enumerate(valid_loader):
