@@ -72,7 +72,12 @@ def test_mesh_sampler_compiles_with_zero_collectives(model_and_params):
     the near-linear multi-chip inference scaling claim (anything else means
     a sharding annotation regressed and resharding traffic would ride ICI).
     """
-    model, variables = model_and_params
+    # Fresh model instance (same architecture, fixture's params): the program
+    # cache must contain exactly the sampler built below — the module-scoped
+    # fixture's cache already holds the earlier tests' enhance() sampler under
+    # a different "pc" key, which is what the single-entry unpack reads.
+    _, variables = model_and_params
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
     from sgmse_tpu.parallel.mesh import data_sharding
     from sgmse_tpu import dsp
 
