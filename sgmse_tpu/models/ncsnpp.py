@@ -319,7 +319,7 @@ class NCSNpp(NCSNppBase):
                             help="Compute dtype (params stay float32).")
         parser.add_argument("--remat", action="store_true",
                             help="Recompute res-block activations in backward "
-                                 "(less memory, ~30% more FLOPs).")
+                                 "(less memory, ~30%% more FLOPs).")
         return parser
 
 
@@ -345,7 +345,7 @@ class NCSNpp_v2(NCSNppBase):
                             help="Compute dtype (params stay float32).")
         parser.add_argument("--remat", action="store_true",
                             help="Recompute res-block activations in backward "
-                                 "(less memory, ~30% more FLOPs).")
+                                 "(less memory, ~30%% more FLOPs).")
         return parser
 
 
@@ -377,5 +377,5 @@ class NCSNpp_48k(NCSNppBase):
                             help="Compute dtype (params stay float32).")
         parser.add_argument("--remat", action="store_true",
                             help="Recompute res-block activations in backward "
-                                 "(less memory, ~30% more FLOPs).")
+                                 "(less memory, ~30%% more FLOPs).")
         return parser

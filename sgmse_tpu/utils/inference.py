@@ -112,8 +112,13 @@ def evaluate_model(model, variables, clean_files: Sequence[str],
             maxlen = max(len(y) for _, y, _ in chunk)
             yb = np.stack([np.pad(y, (0, maxlen - len(y))) for _, y, _ in chunk])
             key, sub = jax.random.split(key)
-            x_hat_b = model.enhance(variables, yb, key=sub, N=N, snr=snr,
-                                    corrector_steps=corrector_steps)
+            # enhance_eval: params are ARGUMENTS of one fused jitted program,
+            # so the sampler compiles once and is reused as training updates
+            # the params every validation — enhance() would rebuild and
+            # remote-recompile its params-by-closure programs per validation
+            # (~350 s at the 65M flagship size, docs/PERFORMANCE.md).
+            x_hat_b = model.enhance_eval(variables, yb, key=sub, N=N, snr=snr,
+                                         corrector_steps=corrector_steps)
             for (x, y, sr_x), x_hat_padded in zip(chunk, x_hat_b):
                 x_hat = np.asarray(x_hat_padded)[: len(y)]
                 x_16k = resample(x, sr_x, 16000) if sr_x != 16000 else x

@@ -247,3 +247,52 @@ def test_enhance_intermediate_returns_trajectory(model_and_params):
     # without the flag the return contract is unchanged
     x_plain = model.enhance(variables, y_wav, key=jax.random.key(0), N=3)
     np.testing.assert_array_equal(np.asarray(x_plain), np.asarray(x_hat))
+
+
+def test_enhance_eval_matches_enhance(model_and_params):
+    """enhance_eval (params as jit ARGUMENTS, one fused program) must produce
+    the same waveform as enhance (params by closure, cached per params
+    identity) for the same key — the two paths differ only in how the params
+    reach the compiled program."""
+    model, variables = model_and_params
+    rng = np.random.default_rng(5)
+    y_wav = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+    a = model.enhance(variables, y_wav, key=jax.random.key(11), N=3)
+    b = model.enhance_eval(variables, y_wav, key=jax.random.key(11), N=3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    # 1-D input round-trips like enhance.
+    c = model.enhance_eval(variables, y_wav[0], key=jax.random.key(11), N=3)
+    assert c.shape == y_wav[0].shape
+
+
+def test_enhance_eval_reuses_program_across_params():
+    """The whole point: fresh params must NOT rebuild the program (the
+    in-training validation pathology — enhance() rebuilt + recompiled per
+    validation because its cache keys on params identity)."""
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    variables = model.init_params(jax.random.key(0), num_frames=64)
+    rng = np.random.default_rng(6)
+    y_wav = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+    model.enhance_eval(variables, y_wav, key=jax.random.key(0), N=2)
+    n_eval_entries = sum(1 for k in model._program_cache if k[0] == "eval_enhance")
+    assert n_eval_entries == 1
+    bumped = jax.tree.map(lambda a: a + 1e-6 if a.dtype == jnp.float32 else a,
+                          variables)
+    out = model.enhance_eval(bumped, y_wav, key=jax.random.key(0), N=2)
+    assert np.all(np.isfinite(np.asarray(out)))
+    n_eval_entries = sum(1 for k in model._program_cache if k[0] == "eval_enhance")
+    assert n_eval_entries == 1, "fresh params rebuilt the eval program"
+
+
+def test_enhance_eval_sb_dispatch():
+    """SBVE: enhance_eval uses the SB sampler (pc maps to ode like the
+    reference enhancement.py:88) and matches enhance()."""
+    model = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction", **TINY)
+    variables = model.init_params(jax.random.key(1), num_frames=64)
+    rng = np.random.default_rng(7)
+    y_wav = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
+    a = model.enhance(variables, y_wav, key=jax.random.key(2), N=3)
+    b = model.enhance_eval(variables, y_wav, key=jax.random.key(2), N=3)
+    # One fused program vs three separate programs: XLA fuses/reorders f32
+    # ops differently, so agreement is to rounding (~1e-5), not bit-exact.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
