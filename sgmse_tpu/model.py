@@ -22,7 +22,9 @@ silently producing a (B,1,1,B,C,F,T) loss tensor; we implement the intended
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
+import logging
 import math
 import time
 import warnings
@@ -310,15 +312,29 @@ class ScoreModel:
     # building a fresh closure per enhance() call would retrace — and, on
     # backends without a warm executable cache, fully recompile — the whole
     # N-step program for every utterance batch.
+    #
+    # The cache is LRU-bounded: each entry can hold a compiled executable with
+    # the full 65M-param tree baked in as constants, so an unbounded dict
+    # grows without limit in a long-running process sweeping sampler configs
+    # (quality_vs_nfe, serve with many buckets × precision variants).
+    program_cache_size = 32
+
     def _cached_program(self, cache_key, variables, build):
         cache = getattr(self, "_program_cache", None)
         if cache is None:
-            cache = self._program_cache = {}
+            cache = self._program_cache = collections.OrderedDict()
         entry = cache.get(cache_key)
         if entry is not None and entry[0] is variables:
+            cache.move_to_end(cache_key)
             return entry[1]
         program = build()
         cache[cache_key] = (variables, program)
+        cache.move_to_end(cache_key)
+        while len(cache) > self.program_cache_size:
+            evicted, _ = cache.popitem(last=False)
+            logging.getLogger(__name__).info(
+                "program cache full (%d): evicting LRU entry %r",
+                self.program_cache_size, evicted[:2])
         return program
 
     def get_pc_sampler(self, predictor_name, corrector_name, variables, y,
@@ -521,12 +537,18 @@ class ScoreModel:
         # calls (not just timed ones) so a caller that warms up with
         # timeit=False and then measures with timeit=True gets no false
         # warning. (The reference has the same flaw, model.py:460-463.)
+        # Bounded like _program_cache: an eternal process enhancing
+        # arbitrary-length audio would otherwise accumulate one tuple per
+        # distinct shape forever (cheap, but unbounded is unbounded).
         seen = getattr(self, "_seen_shapes", None)
         if seen is None:
-            seen = self._seen_shapes = set()
+            seen = self._seen_shapes = collections.OrderedDict()
         shp = tuple(np.shape(y_wav))
         first_for_shape = shp not in seen
-        seen.add(shp)
+        seen[shp] = True
+        seen.move_to_end(shp)
+        while len(seen) > 4 * self.program_cache_size:
+            seen.popitem(last=False)
         if timeit and first_for_shape:
             warnings.warn(
                 f"enhance(timeit=True): first call for input shape {shp} — "
@@ -657,14 +679,18 @@ class ScoreModel:
         if squeeze:
             y_wav = y_wav[None]
         stype = sampler_type if sampler_type is not None else self.sde.sampler_type
-        sde = dataclasses.replace(self.sde, N=N if N is not None else self.sde.N)
         if self.sde_name == "sbve":
-            # reference enhancement.py:88: 'pc' maps to 'ode' for the SB model
+            # Match enhance() and the reference exactly: the SB branch IGNORES
+            # the N argument and always runs self.sde.N steps (reference
+            # model.py:452 passes no N; enhancement.py:88 maps pc to ode).
+            sde = self.sde
             stype_sb = "ode" if stype == "pc" else stype
             cache_key = ("eval_enhance", sde, "sb", stype_sb, pad_mode)
         elif stype == "pc":
+            sde = dataclasses.replace(self.sde,
+                                      N=N if N is not None else self.sde.N)
             cache_key = ("eval_enhance", sde, "pc", predictor, corrector,
-                         corrector_steps, snr, pad_mode)
+                         corrector_steps, snr, self.t_eps, pad_mode)
         else:
             out = self.enhance(variables, y_wav, key=key, sampler_type=stype,
                                N=N, pad_mode=pad_mode)

@@ -38,15 +38,22 @@ def test_help_renders_for_every_dynamic_flag_combo(backbone, sde):
     assert "--lr" in text and "--batch_size" in text
 
 
-def test_enhance_and_calc_metrics_parsers_render():
-    # The static CLIs build their parsers at module scope inside main();
-    # reproduce their flag surface the same way users see it: by formatting
-    # a parser carrying the same help strings via the registries they use.
-    from sgmse_tpu.sampling import CorrectorRegistry, PredictorRegistry
+@pytest.mark.parametrize("cli,flag", [
+    ("enhance.py", "--corrector"),
+    ("calc_metrics.py", "--enhanced_dir"),
+    ("train.py", "--backbone"),
+    ("serve.py", "--port"),
+])
+def test_cli_help_subprocess(cli, flag):
+    """Run each CLI's ACTUAL --help in a subprocess: a bad ``%`` (or any
+    parser-construction crash) in the real cli/*.py files fails here, which
+    the in-process reconstruction above cannot catch."""
+    import pathlib
+    import subprocess
+    import sys
 
-    parser = argparse.ArgumentParser(prog="enhance.py")
-    parser.add_argument("--corrector", choices=CorrectorRegistry.get_all_names(),
-                        default="ald", help="Corrector class for the PC sampler.")
-    parser.add_argument("--predictor", choices=PredictorRegistry.get_all_names(),
-                        default="reverse_diffusion", help="Predictor class.")
-    assert "--corrector" in parser.format_help()
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    res = subprocess.run([sys.executable, str(repo / "cli" / cli), "--help"],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert flag in res.stdout

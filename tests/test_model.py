@@ -180,7 +180,7 @@ def test_sampler_program_cache(model_and_params):
     per enhance call; the journey drive showed per-call recompiles cost ~60s
     on the TPU tunnel)."""
     model, variables = model_and_params
-    model._program_cache = {}
+    model._program_cache = __import__("collections").OrderedDict()
     y = crandn(jax.random.key(0), (1, 1, 64, 64)) * 0.1
     s1 = model.get_pc_sampler("reverse_diffusion", "ald", variables, y,
                               N=3, snr=0.5)
@@ -284,15 +284,45 @@ def test_enhance_eval_reuses_program_across_params():
     assert n_eval_entries == 1, "fresh params rebuilt the eval program"
 
 
+def test_program_cache_is_lru_bounded():
+    """Sweeping many sampler configs must not retain one compiled executable
+    per config: each entry can hold a 65M-constant program, so the cache is
+    LRU-capped at ScoreModel.program_cache_size."""
+    model = ScoreModel("ncsnpp", "ouve", **TINY)
+    built = []
+    for i in range(100):
+        model._cached_program(("cfg", i), None, lambda i=i: built.append(i) or i)
+    assert len(built) == 100
+    assert len(model._program_cache) == model.program_cache_size
+    assert ("cfg", 99) in model._program_cache  # most recent survives
+    assert ("cfg", 0) not in model._program_cache  # LRU evicted
+    # A cache hit refreshes recency without rebuilding.
+    assert model._cached_program(("cfg", 99), None, lambda: None) == 99
+    assert len(built) == 100
+    model._cached_program(("cfg", 100), None, lambda: 100)
+    assert ("cfg", 99) in model._program_cache
+
+
 def test_enhance_eval_sb_dispatch():
     """SBVE: enhance_eval uses the SB sampler (pc maps to ode like the
-    reference enhancement.py:88) and matches enhance()."""
-    model = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction", **TINY)
+    reference enhancement.py:88), matches enhance(), and — like enhance()
+    and the reference (model.py:452 passes no N) — IGNORES the N argument,
+    always running self.sde.N steps."""
+    model = ScoreModel("ncsnpp_v2", "sbve", loss_type="data_prediction",
+                       N=4, **TINY)
+    assert model.sde.N == 4
     variables = model.init_params(jax.random.key(1), num_frames=64)
     rng = np.random.default_rng(7)
     y_wav = rng.standard_normal((2, 4000)).astype(np.float32) * 0.1
-    a = model.enhance(variables, y_wav, key=jax.random.key(2), N=3)
+    with pytest.warns(UserWarning, match="timeit"):
+        a, nfe, _ = model.enhance(variables, y_wav, key=jax.random.key(2),
+                                  N=3, timeit=True)
+    assert nfe == 4, "enhance must ignore N on the SB path (sde.N wins)"
     b = model.enhance_eval(variables, y_wav, key=jax.random.key(2), N=3)
+    # The cached eval program must be keyed on self.sde (N=4), not on the
+    # ignored N=3 — pinning that both paths ran the same step count.
+    eval_keys = [k for k in model._program_cache if k[0] == "eval_enhance"]
+    assert eval_keys == [("eval_enhance", model.sde, "sb", "ode", "zero_pad")]
     # One fused program vs three separate programs: XLA fuses/reorders f32
     # ops differently, so agreement is to rounding (~1e-5), not bit-exact.
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
