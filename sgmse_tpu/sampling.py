@@ -336,25 +336,48 @@ def ode_sampler_program(
                                           probability_flow=False)
         return x - rev_f
 
+    def _rms(v):
+        # scipy's rms_norm: ||v||_2 / sqrt(size) = sqrt(mean |v|^2).
+        a = jnp.abs(v)
+        return jnp.sqrt(jnp.mean(a * a))
+
     def _err_norm(e, x0, x1):
         scale = atol + rtol * jnp.maximum(jnp.abs(x0), jnp.abs(x1))
-        r = jnp.abs(e) / scale
-        return jnp.sqrt(jnp.mean(r * r))
+        return _rms(jnp.abs(e) / scale)
+
+    def _select_initial_step(x0, t0, f0, y):
+        """scipy.integrate._ivp.common.select_initial_step, direction=-1,
+        error-estimator order 4 (exponent 1/5). Costs ONE extra function
+        evaluation (the Euler trial), exactly like scipy. Matching scipy's
+        h0 pins our NFE to the reference's scipy-RK45 NFE
+        (tests/test_reference_anchor.py asserts the ratio is <= 1.3)."""
+        scale = atol + jnp.abs(x0) * rtol
+        d0 = _rms(x0 / scale)
+        d1 = _rms(f0 / scale)
+        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+        x1 = x0 - h0 * f0  # direction = -1 (reverse time)
+        f1 = drift_fn(x1, t0 - h0, y)
+        d2 = _rms((f1 - f0) / scale) / h0
+        dm = jnp.maximum(d1, d2)
+        h1 = jnp.where(dm <= 1e-15,
+                       jnp.maximum(1e-6, h0 * 1e-3),
+                       (0.01 / dm) ** 0.2)
+        return jnp.minimum(100.0 * h0, h1)
 
     @jax.jit
     def rk45_sampler(key, y, z=None):
         x0 = sde.prior_from_noise(z, y) if inject_prior \
             else sde.prior_sampling(key, y)
         t0 = jnp.float32(sde.T)
-        h0 = jnp.float32(-(sde.T - eps) / 50.0)  # initial step, reverse time
         k1_0 = drift_fn(x0, t0, y)
+        h0 = -_select_initial_step(x0, t0, k1_0, y)  # negative: reverse time
 
         def cond(carry):
-            x, t, h, k1, nfe, steps = carry
+            x, t, h, k1, rejected, nfe, steps = carry
             return (t > eps + 1e-8) & (steps < max_steps)
 
         def body(carry):
-            x, t, h, k1, nfe, steps = carry
+            x, t, h, k1, rejected, nfe, steps = carry
             # Do not step past t=eps.
             h = jnp.maximum(h, eps - t)
             ks = [k1]
@@ -373,15 +396,22 @@ def ode_sampler_program(
                 err = err + h * (b5 - b4) * ki
             enorm = _err_norm(err, x, x5)
             accept = enorm <= 1.0
-            factor = jnp.clip(0.9 * enorm ** -0.2, 0.2, 10.0)
+            # scipy's controller: SAFETY=0.9, MIN_FACTOR=0.2, MAX_FACTOR=10,
+            # exponent -1/5; zero error grows by MAX_FACTOR; an acceptance
+            # immediately after a rejection must not grow the step.
+            factor = jnp.where(enorm == 0.0, 10.0,
+                               jnp.clip(0.9 * enorm ** -0.2, 0.2, 10.0))
+            factor = jnp.where(accept & rejected,
+                               jnp.minimum(factor, 1.0), factor)
             h_next = h * factor  # both h<0: factor scales magnitude
             x = jnp.where(accept, x5, x)
             t = jnp.where(accept, t + h, t)
             k1 = jnp.where(accept, k7, k1)
-            return (x, t, h_next, k1, nfe + 6, steps + 1)
+            return (x, t, h_next, k1, ~accept, nfe + 6, steps + 1)
 
-        x, t, h, k1, nfe, steps = jax.lax.while_loop(
-            cond, body, (x0, t0, h0, k1_0, jnp.int32(1), jnp.int32(0)))
+        x, t, h, k1, rejected, nfe, steps = jax.lax.while_loop(
+            cond, body, (x0, t0, h0, k1_0, jnp.bool_(False),
+                         jnp.int32(2), jnp.int32(0)))
         if denoise:
             x = denoise_step(x, y)
             nfe = nfe + 1

@@ -312,5 +312,9 @@ def test_ode_solver_terminal_state_and_nfe_anchor():
     # Two different adaptive controllers at rtol=atol=1e-5: terminal states
     # agree to solver-tolerance level, far below any audible difference.
     assert rel < 5e-3, rel
-    # NFE parity: both are adaptive; ours within 2x of scipy's count.
-    assert nfe_ref / 2 <= nfe_ours <= nfe_ref * 2, (nfe_ours, nfe_ref)
+    # NFE parity: our controller implements scipy's (same DP5(4) tableau,
+    # RMS error norm, SAFETY/MIN/MAX factors, select_initial_step, post-
+    # rejection growth clamp), so the adaptive step counts track each other;
+    # the residual slack covers f32-vs-f64 error-estimate rounding flipping
+    # an accept/reject decision near enorm=1.
+    assert nfe_ref / 1.3 <= nfe_ours <= nfe_ref * 1.3, (nfe_ours, nfe_ref)
