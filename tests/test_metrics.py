@@ -60,6 +60,76 @@ def test_stoi_monotone_in_snr(speechlike):
     assert scores[0] > scores[1] > scores[2]
 
 
+def test_thirdoct_golden():
+    """Golden values for the 1/3-octave band matrix at STOI's published
+    analysis config (fs=10000, nfft=512, 15 bands from 150 Hz) — the same
+    construction pystoi.utils.thirdoct uses (nearest-bin argmin on band
+    edges 150*2^((2k±1)/6)). Freezing the exact bin ranges localizes any
+    regression to the filterbank stage (VERDICT r4 item 5)."""
+    obm, cf = M._thirdoct(10000, 512, 15, 150.0)
+    assert obm.shape == (15, 257)
+    np.testing.assert_allclose(
+        cf, 150.0 * (2.0 ** (1.0 / 3.0)) ** np.arange(15), rtol=1e-12)
+    golden_edges = [(7, 9), (9, 11), (11, 14), (14, 17), (17, 22), (22, 27),
+                    (27, 34), (34, 43), (43, 55), (55, 69), (69, 87),
+                    (87, 109), (109, 138), (138, 174), (174, 219)]
+    for i, (lo, hi) in enumerate(golden_edges):
+        nz = np.nonzero(obm[i])[0]
+        assert (nz[0], nz[-1] + 1) == (lo, hi), f"band {i}"
+        assert obm[i].sum() == hi - lo  # contiguous indicator row
+
+
+def test_estoi_envelope_correlation_stage_golden():
+    """The ESTOI intermediate (row- then column-normalized segment
+    correlation, Jensen & Taal 2016 eq. 4-6) vs an independent loop-level
+    computation on a small random segment batch — localizes a regression to
+    the normalization/correlation stage."""
+    rng = np.random.default_rng(3)
+    xs = rng.random((4, 15, 30)) + 0.1  # (segments M, bands J, frames N)
+    ys = xs + 0.3 * rng.random((4, 15, 30))
+
+    xn, yn = M._row_col_normalize(xs), M._row_col_normalize(ys)
+    ours = float(np.sum(xn * yn / 30) / xn.shape[0])
+
+    def norm_rows_then_cols(seg):
+        seg = seg - seg.mean(axis=1, keepdims=True)
+        seg = seg / np.linalg.norm(seg, axis=1, keepdims=True)
+        seg = seg - seg.mean(axis=0, keepdims=True)
+        return seg / np.linalg.norm(seg, axis=0, keepdims=True)
+
+    total = 0.0
+    for xseg, yseg in zip(xs, ys):
+        xz, yz = norm_rows_then_cols(xseg), norm_rows_then_cols(yseg)
+        total += sum(float(np.dot(xz[:, n], yz[:, n])) for n in range(30)) / 30
+    np.testing.assert_allclose(ours, total / 4, rtol=1e-10)
+
+
+def test_stoi_scale_invariance_exact(speechlike):
+    """Pure gain must be a perfect score on both variants: classic STOI
+    rescales each segment to the clean norm before correlating; ESTOI's
+    double normalization removes gain entirely."""
+    x, _ = speechlike
+    assert M.stoi(x, 0.25 * x, SR, extended=False) > 0.9999
+    assert M.stoi(x, 0.25 * x, SR, extended=True) > 0.9999
+
+
+def test_stoi_estoi_regression_anchor():
+    """Frozen end-to-end values on a deterministic synthetic pair: any change
+    to VAD, framing, filterbank, or correlation stages moves these. (Not a
+    conformance claim — rank fidelity is quantified in
+    tools/estoi_rank_agreement.py, recorded in docs/PARITY.md.)"""
+    rng = np.random.default_rng(42)
+    t = np.arange(2 * SR) / SR
+    env = np.clip(np.sin(2 * np.pi * 4 * t), 0, None)
+    x = env * (np.sin(2 * np.pi * 300 * t) + 0.6 * np.sin(2 * np.pi * 1100 * t)
+               + 0.3 * np.sin(2 * np.pi * 2600 * t))
+    y = x + 0.3 * rng.standard_normal(len(x))
+    np.testing.assert_allclose(M.stoi(x, y, SR, extended=True),
+                               0.07400846906672583, atol=1e-9)
+    np.testing.assert_allclose(M.stoi(x, y, SR, extended=False),
+                               0.3928769107949052, atol=1e-9)
+
+
 def test_pesq_always_available(speechlike):
     # With the built-in P.862 fallback (utils/p862.py), pesq_wb returns a
     # real score even without the external `pesq` package.
