@@ -15,9 +15,15 @@ TPU-first design constraints (why this isn't just a thread pool):
   pads to anyway — reference util/other.py:76-90) and batches are padded UP
   to a power-of-two row count, so a bucket needs at most log2(max_batch)+1
   executables, all of which can be compiled at startup (`warmup`).
-- **One dispatcher.** A single chip runs one program at a time; funneling all
-  device work through one thread gives deterministic batch composition and
-  keeps the host side free of device-handle races. Callers block on futures.
+- **One dispatcher, several executors.** A single dispatcher thread owns
+  batch composition (deterministic grouping, no device-handle races), but
+  each composed batch is EXECUTED on a small thread pool: launching a
+  not-yet-compiled (bucket, batch) program stalls for ~60 s on a
+  remote-compile backend, and with in-dispatcher execution that stall would
+  block dispatch of every already-warm bucket behind it (round-5 regression
+  test: test_serve.py::test_cold_bucket_does_not_block_warm_bucket). Warm
+  programs dispatch asynchronously, so pool threads do not serialize on the
+  device — only on compiles.
 - **Bounded latency.** A batch launches when it is full OR when its oldest
   request has waited `max_delay_ms` — the classic throughput/latency knob.
 - **Unbounded input length.** Requests longer than the largest bucket run
@@ -34,7 +40,7 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -93,7 +99,8 @@ class BatchingEnhancer:
                  sampler_kwargs: Optional[Dict[str, Any]] = None,
                  pad_mode: str = "zero_pad", seed: int = 0,
                  chunk_seconds: float = 10.0,
-                 max_pending: Optional[int] = None):
+                 max_pending: Optional[int] = None,
+                 execute_workers: int = 4):
         self.model = model
         self.variables = variables
         self.max_batch = int(max_batch)
@@ -114,6 +121,11 @@ class BatchingEnhancer:
         self._stats = {"requests": 0, "batches": 0, "batched_rows": 0,
                        "long_requests": 0, "errors": 0, "rejected": 0,
                        "wait_s_sum": 0.0}
+        # Batch EXECUTION pool: a cold (bucket, batch) program's compile
+        # stall must not block dispatch of warm buckets (see module doc).
+        self._executor = ThreadPoolExecutor(
+            max_workers=max(1, int(execute_workers)),
+            thread_name_prefix="sgmse-serve-exec")
         self._dispatcher = threading.Thread(target=self._run, daemon=True,
                                             name="sgmse-serve-dispatcher")
         self._dispatcher.start()
@@ -194,6 +206,7 @@ class BatchingEnhancer:
             self._stop = True
             self._cond.notify_all()
         self._dispatcher.join(timeout)
+        self._executor.shutdown(wait=True)
 
     def __enter__(self):
         return self
@@ -237,19 +250,24 @@ class BatchingEnhancer:
                         return
                     self._cond.wait(timeout=wait)
                     reqs, wait = self._pick_batch(time.time())
-            try:
-                self._execute(reqs)
-            except Exception as e:  # noqa: BLE001 — failures belong to callers
-                with self._cond:
-                    self._stats["errors"] += len(reqs)
-                for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                key = jax.random.fold_in(self._base_key, self._batch_counter)
+                self._batch_counter += 1
+            # Execute off-thread: dispatch continues while this batch runs
+            # (or, for a cold bucket, while its program compiles).
+            self._executor.submit(self._execute_safe, reqs, key)
 
-    def _execute(self, reqs: List[_Request]):
+    def _execute_safe(self, reqs: List[_Request], key):
+        try:
+            self._execute(reqs, key)
+        except Exception as e:  # noqa: BLE001 — failures belong to callers
+            with self._cond:
+                self._stats["errors"] += len(reqs)
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def _execute(self, reqs: List[_Request], key):
         now = time.time()
-        key = jax.random.fold_in(self._base_key, self._batch_counter)
-        self._batch_counter += 1
         if reqs[0].bucket is None:
             (req,) = reqs
             out = self.model.enhance_long(

@@ -105,6 +105,45 @@ def test_error_propagates_to_future(model_and_params):
     assert enh.stats()["errors"] == 1
 
 
+def test_cold_bucket_does_not_block_warm_bucket(model_and_params):
+    """A cold bucket's compile stall must not block dispatch of a warm
+    bucket's batch (VERDICT r4 item 10): batch execution runs on a pool, so
+    only the dispatcher's (cheap) grouping is serialized."""
+    import time as _time
+
+    model, variables = model_and_params
+    stall = threading.Event()
+
+    class ColdBucketModel:
+        """Model proxy: enhance() on the 128-frame bucket blocks (simulated
+        remote compile) until released; the 64-frame bucket is warm."""
+
+        def __getattr__(self, name):
+            return getattr(model, name)
+
+        def enhance(self, variables, yb, **kw):
+            if yb.shape[1] > 3000:  # 128-frame bucket (4064 samples)
+                stall.wait(timeout=30)
+            return model.enhance(variables, yb, **kw)
+
+    rng = np.random.default_rng(7)
+    cold_wav = rng.standard_normal(3500).astype(np.float32) * 0.1  # 128 frames
+    warm_wav = rng.standard_normal(1600).astype(np.float32) * 0.1  # 64 frames
+    with make_enhancer(ColdBucketModel(), variables, max_delay_ms=20.0) as enh:
+        enh.model.enhance(variables, warm_wav[None], **SAMPLER)  # warm it
+        f_cold = enh.submit(cold_wav)
+        _time.sleep(0.05)  # let the cold batch dispatch first
+        f_warm = enh.submit(warm_wav)
+        # The warm request completes while the cold one is still stalled.
+        out = f_warm.result(timeout=60)
+        assert np.all(np.isfinite(out))
+        assert not f_cold.done(), "cold batch should still be stalled"
+        stall.set()
+        assert np.all(np.isfinite(f_cold.result(timeout=60)))
+    s = enh.stats()
+    assert s["errors"] == 0 and s["batches"] == 2
+
+
 def test_closed_enhancer_rejects_submits(model_and_params):
     model, variables = model_and_params
     enh = make_enhancer(model, variables)
