@@ -128,12 +128,43 @@ class DDPMDense(nn.Module):
         )(x)
 
 
-def group_norm(ch: int, dtype: Any = None) -> nn.GroupNorm:
+class GroupNormBF16Stats(nn.Module):
+    """ABLATION-ONLY GroupNorm with statistics computed in the compute dtype
+    (bf16) instead of flax's internal float32 upcast. Used by
+    `tools/train_mfu.py --ablate gn_bf16_stats` to price the f32-stat
+    reductions in the training backward pass (VERDICT r4 next #9). Parameter
+    names/shapes match nn.GroupNorm ("scale"/"bias"), so the same parameter
+    tree initializes either implementation."""
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype or x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", jax.nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", jax.nn.initializers.zeros, (c,), jnp.float32)
+        xr = x.astype(dt).reshape(*x.shape[:-1], self.num_groups,
+                                  c // self.num_groups)
+        red = tuple(range(1, xr.ndim - 2)) + (xr.ndim - 1,)
+        mean = xr.mean(axis=red, keepdims=True)
+        var = ((xr - mean) ** 2).mean(axis=red, keepdims=True)
+        xn = ((xr - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
+        return xn * scale.astype(dt) + bias.astype(dt)
+
+
+def group_norm(ch: int, dtype: Any = None, name: Optional[str] = None):
     """GroupNorm(min(ch//4, 32), eps=1e-6) as used throughout NCSN++ (layerspp.py:67).
 
     With a bf16 compute dtype, flax still computes the normalization statistics
-    in float32 internally, so the reduction stays numerically stable."""
-    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, dtype=dtype)
+    in float32 internally, so the reduction stays numerically stable. Setting
+    SGMSE_TPU_GN_STATS_BF16=1 swaps in GroupNormBF16Stats (throughput ablation
+    only — do not train real checkpoints with it)."""
+    import os
+    cls = (GroupNormBF16Stats
+           if os.environ.get("SGMSE_TPU_GN_STATS_BF16") == "1" else nn.GroupNorm)
+    return cls(num_groups=min(ch // 4, 32), epsilon=1e-6, dtype=dtype, name=name)
 
 
 class GaussianFourierProjection(nn.Module):
@@ -198,7 +229,7 @@ class AttnBlockpp(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hn = group_norm(c, dtype=self.dtype)(x)
+        hn = group_norm(c, dtype=self.dtype, name="GroupNorm_0")(x)
         q = NIN(c, dtype=self.dtype, name="NIN_0")(hn)
         k = NIN(c, dtype=self.dtype, name="NIN_1")(hn)
         v = NIN(c, dtype=self.dtype, name="NIN_2")(hn)
@@ -325,14 +356,14 @@ class ResnetBlockDDPMpp(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, train: bool = False):
         out_ch = self.out_ch if self.out_ch else self.in_ch
-        h = self.act(nn.GroupNorm(num_groups=min(self.in_ch // 4, 32), epsilon=1e-6,
-                                  dtype=self.dtype, name="GroupNorm_0")(x))
+        h = self.act(group_norm(self.in_ch, dtype=self.dtype,
+                              name="GroupNorm_0")(x))
         h = Conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
         if temb is not None:
             h = h + DDPMDense(out_ch, dtype=self.dtype,
                               name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                                  dtype=self.dtype, name="GroupNorm_1")(h))
+        h = self.act(group_norm(out_ch, dtype=self.dtype,
+                              name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
                     name="Conv_1")(h)
@@ -364,8 +395,8 @@ class ResnetBlockBigGANpp(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, train: bool = False):
         out_ch = self.out_ch if self.out_ch else self.in_ch
-        h = self.act(nn.GroupNorm(num_groups=min(self.in_ch // 4, 32), epsilon=1e-6,
-                                  dtype=self.dtype, name="GroupNorm_0")(x))
+        h = self.act(group_norm(self.in_ch, dtype=self.dtype,
+                              name="GroupNorm_0")(x))
 
         if self.up:
             if self.fir:
@@ -386,8 +417,8 @@ class ResnetBlockBigGANpp(nn.Module):
         if temb is not None:
             h = h + DDPMDense(out_ch, dtype=self.dtype,
                               name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                                  dtype=self.dtype, name="GroupNorm_1")(h))
+        h = self.act(group_norm(out_ch, dtype=self.dtype,
+                              name="GroupNorm_1")(h))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
                     name="Conv_1")(h)

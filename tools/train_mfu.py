@@ -10,10 +10,21 @@ fence that docs/PERFORMANCE.md establishes as the only trustworthy sync on
 the axon tunnel.
 
 Usage:  python tools/train_mfu.py [--batch 8] [--k 10] [--reps 5]
+        [--ablate none no_ema no_stft gn_bf16_stats]
 
 Prints one JSON line per configuration:
-  {"batch": B, "k": K, "steps_per_s": S, "samples_per_s": ...,
+  {"batch": B, "k": K, "ablate": A, "steps_per_s": S, "samples_per_s": ...,
    "tflop_per_step": F, "sustained_tflops": T, "mfu_pct": M}
+
+Ablations (VERDICT r4 next #9 — attribute the 73% inference -> 62.6%
+training MFU gap):
+  no_ema        : EMA update replaced by identity (upper bound on what
+                  fusing/removing the EMA elementwise pass could recover).
+  no_stft       : the per-step on-device STFT of the raw wav batch replaced
+                  by a zero spec of the same shape (prices the STFT).
+  gn_bf16_stats : GroupNorm statistics computed in bf16 instead of flax's
+                  f32 upcast (SGMSE_TPU_GN_STATS_BF16=1, blocks.py).
+Each ablation keeps every conv/dot identical, so mfu_pct stays comparable.
 """
 import argparse
 import json
@@ -30,14 +41,28 @@ import numpy as np
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def measure(batch: int, k: int, reps: int) -> dict:
+def measure(batch: int, k: int, reps: int, ablate: str = "none") -> dict:
+    import os
+
+    if ablate == "gn_bf16_stats":
+        os.environ["SGMSE_TPU_GN_STATS_BF16"] = "1"
+
+    import sgmse_tpu.train as train_mod
     from sgmse_tpu.model import ScoreModel
     from sgmse_tpu.train import create_train_state, make_train_multi_step
     from sgmse_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
 
+    if ablate == "no_ema":
+        train_mod.ema_update = lambda ema, params, decay, num_updates: ema
+
     model = ScoreModel("ncsnpp", "ouve", precision="bfloat16")
+    if ablate == "no_stft":
+        spec = model.spec
+        f, tc = spec.num_freqs, spec.num_frames
+        spec.wav_to_spec = lambda w: jnp.zeros((w.shape[0], f, tc),
+                                               jnp.complex64)
     state, tx = create_train_state(model, jax.random.key(0))
     multi = make_train_multi_step(model, tx, steps=k)
     jitted = jax.jit(multi, donate_argnums=(0,))
@@ -86,7 +111,7 @@ def measure(batch: int, k: int, reps: int) -> dict:
     wall = sorted(walls)[len(walls) // 2]
 
     out = {
-        "batch": batch, "k": k,
+        "batch": batch, "k": k, "ablate": ablate,
         "steps_per_s": round(k / wall, 3),
         "samples_per_s": round(k * batch / wall, 1),
         "wall_per_exec_s": round(wall, 4),
@@ -107,9 +132,15 @@ def main():
     ap.add_argument("--batch", type=int, nargs="+", default=[8])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--ablate", type=str, default="none",
+                    choices=("none", "no_ema", "no_stft", "gn_bf16_stats"),
+                    help="Run ONE ablation per process (monkeypatches at "
+                         "import time; a fresh process per mode keeps the "
+                         "measurements independent).")
     args = ap.parse_args()
     for b in args.batch:
-        print(json.dumps(measure(b, args.k, args.reps)), flush=True)
+        print(json.dumps(measure(b, args.k, args.reps, args.ablate)),
+              flush=True)
 
 
 if __name__ == "__main__":
