@@ -23,6 +23,12 @@ cannot run on this TPU; the proxy was calibrated against REAL torch on CPU
 same 60-NFE config, so vs_baseline is a proxy-measured number with a
 real-torch anchor (see BASELINE.md section (c) methodology note).
 
+Extra keys: `value_n20` / `vs_baseline_n20_matched_quality` record the PC
+N=20 point of the measured quality-vs-NFE frontier (docs/PERFORMANCE.md:
+PESQ within 0.04 of the N=30 default on the trained 65M checkpoint), i.e.
+the speedup at matched output quality against the reference's own shipped
+default. The headline `value`/`vs_baseline` stay iso-NFE at N=30.
+
 Methodology (round 4): BOTH sides are timed over steady-state repetitions,
 with the per-rep walls recorded in the JSON — the round-3 drop to
 vs_baseline 4.73 was traced to the baseline side being a single un-medianed
@@ -77,6 +83,7 @@ def _retry(fn, what, attempts=3, sleep_s=20):
 
 
 def main():
+    t_main0 = time.perf_counter()
     from sgmse_tpu.model import ScoreModel
     from sgmse_tpu.sdes import crandn
     from sgmse_tpu import sampling
@@ -225,6 +232,36 @@ def main():
     except Exception as e:
         print(f"# baseline stage failed terminally: {str(e)[:120]}", flush=True)
 
+    # ---- matched-quality point: PC N=20 (40 NFE) -------------------------------------
+    # The measured quality-vs-NFE frontier (docs/PERFORMANCE.md, round 5, real
+    # chip, trained 65M ckpt) shows PESQ within 0.04 of the reference-default
+    # N=30 at N=20, so this is the throughput at matched output quality while
+    # the baseline keeps ITS shipped default. Strictly optional: skipped when
+    # the run is already slow (cold compiles), and failures never touch the
+    # headline, which stays iso-NFE at N=30.
+    n20_value = None
+    if time.perf_counter() - t_main0 < 1200:
+        try:
+            import dataclasses
+            program20, _ = sampling.pc_sampler_program(
+                "reverse_diffusion", "ald",
+                dataclasses.replace(model.sde, N=20), score_fn,
+                denoise=True, eps=model.t_eps, snr=snr, corrector_steps=1)
+            fenced20 = jax.jit(lambda k, y: program20(k, y).real.mean())
+            _retry(lambda: float(fenced20(jax.random.key(2), y)),
+                   "compile ours N=20")
+            walls20 = []
+            for i in range(reps):
+                t0 = time.perf_counter()
+                float(fenced20(jax.random.key(3 + i), y))
+                walls20.append(time.perf_counter() - t0)
+            n20_value = (batch * audio_sec_per_utt
+                         / sorted(walls20)[len(walls20) // 2])
+        except Exception as e:
+            print(f"# N=20 stage failed (non-fatal): {str(e)[:120]}", flush=True)
+    else:
+        print("# N=20 stage skipped: run already past its time budget", flush=True)
+
     result = {
         "metric": "enhancement_throughput_pc_n30",
         "value": round(ours_value, 3),
@@ -233,6 +270,14 @@ def main():
         "ours_walls_s": [round(w, 3) for w in ours_walls],
         "baseline_walls_s": [round(w, 3) for w in base_walls],
     }
+    if n20_value is not None:
+        result["value_n20"] = round(n20_value, 3)
+        if vs_baseline is not None:
+            # Baseline stays at ITS shipped default (N=30): the frontier
+            # measurement showed N=20 matches N=30 quality within the
+            # ±0.05 PESQ bar, so this is speedup at matched quality.
+            result["vs_baseline_n20_matched_quality"] = round(
+                n20_value / base_value, 3)
     if base_spread is not None:
         result["baseline_trimmed_spread_pct"] = round(100 * base_spread, 1)
     if len(ours_walls) > 1:
